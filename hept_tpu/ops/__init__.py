@@ -1,0 +1,17 @@
+from .bucket_attn import (
+    bucket_rbf_attention_xla,
+    dense_rbf_attention,
+    hept_attention_core,
+)
+from .segment import segment_softmax, segment_sum, segment_mean
+from .knn import knn_brute_force
+
+__all__ = [
+    "bucket_rbf_attention_xla",
+    "dense_rbf_attention",
+    "hept_attention_core",
+    "segment_softmax",
+    "segment_sum",
+    "segment_mean",
+    "knn_brute_force",
+]

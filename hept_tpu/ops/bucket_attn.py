@@ -1,0 +1,125 @@
+"""HEPT bucket attention: the computational core.
+
+Per bucket of `block_size` sorted points, computes the unnormalized RBF
+kernel `exp(clamp(q·kᵀ - ½|q|² - ½|k|², max=0))`, its row sums (denominator)
+and the weighted value sum (numerator), then OR-combines `n_hashes` rounds as
+`Σ_hashes num / Σ_hashes denom` — the math of reference
+`src/models/attention/hept.py:22-33,110-115` / `example/hept.py:7-18,74-79`.
+
+Two implementations:
+  * `bucket_rbf_attention_xla`: plain einsums; golden reference and CPU path.
+  * Pallas fused kernel (ops/bucket_attn_pallas.py): keeps the (B, B) kernel
+    matrix in VMEM, never materializing it in HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..core.buckets import invert_permutation, sort_to_buckets, unsort_from_buckets
+from ..core.hashing import lsh_mapping
+
+DENOM_EPS = 1e-20
+
+
+def bucket_rbf_attention_xla(sq: Array, sk: Array, sv: Array):
+    """Per-bucket unnormalized RBF attention (XLA einsum path).
+
+    Args:
+      sq, sk: (..., B, D) bucketed q̂ / k̂; sv: (..., B, Dv).
+    Returns:
+      (denom, so): (..., B, 1) row sums + eps, (..., B, Dv) numerators.
+    """
+    q_sq = -0.5 * jnp.sum(sq * sq, axis=-1, keepdims=True)
+    k_sq = -0.5 * jnp.sum(sk * sk, axis=-1, keepdims=True)
+    logits = jnp.einsum(
+        "...id,...jd->...ij", sq, sk, preferred_element_type=jnp.float32
+    )
+    logits = logits + q_sq + jnp.swapaxes(k_sq, -1, -2)
+    p = jnp.exp(jnp.minimum(logits, 0.0))
+    denom = jnp.sum(p, axis=-1, keepdims=True) + DENOM_EPS
+    so = jnp.einsum("...ij,...jd->...id", p, sv, preferred_element_type=jnp.float32)
+    return denom, so
+
+
+def dense_rbf_attention(q_hat: Array, k_hat: Array, v: Array):
+    """Exact O(N²) RBF attention — golden reference for property tests.
+
+    Args: q_hat, k_hat: (h, n, d); v: (h, n, dv). Returns (h, n, dv).
+    This is what HEPT approximates: normalized kernel attention with the RBF
+    kernel exp(q·k - ½|q|² - ½|k|²) = exp(-½|q-k|²), clamped at 1.
+    """
+    q_sq = -0.5 * jnp.sum(q_hat * q_hat, axis=-1, keepdims=True)
+    k_sq = -0.5 * jnp.sum(k_hat * k_hat, axis=-1, keepdims=True)
+    logits = jnp.einsum("hid,hjd->hij", q_hat, k_hat) + q_sq + jnp.swapaxes(k_sq, -1, -2)
+    p = jnp.exp(jnp.minimum(logits, 0.0))
+    denom = jnp.sum(p, axis=-1, keepdims=True) + DENOM_EPS
+    return jnp.einsum("hij,hjd->hid", p, v) / denom
+
+
+@partial(
+    jax.jit,
+    static_argnames=("block_size", "impl"),
+)
+def hept_attention_core(
+    q_hat: Array,
+    k_hat: Array,
+    v: Array,
+    alpha: Array,
+    codes: Array,
+    invalid: Array | None = None,
+    *,
+    block_size: int,
+    impl: str = "xla",
+) -> Array:
+    """Full HEPT attention pipeline for one event (or vmap over events).
+
+    Args:
+      q_hat, k_hat: (h, n, d_hash) RPE-folded queries/keys (`prep_qk` output).
+      v: (h, n, dv) values.
+      alpha: (h, d_hash, c) frozen E2LSH directions.
+      codes: (c, h, n) integer-valued AND codes (region [+ batch] packing),
+        float or int dtype; scaled by the hash span and added to hash values.
+      invalid: optional (n,) bool — rows whose sort key is pushed to +BIG so
+        they group into trailing buckets (zero-pad or inert-pad rows).
+      block_size: bucket size B; n must be a multiple of B.
+      impl: "xla" | "pallas" bucket kernel selection.
+    Returns:
+      (h, n, dv) attention output (OR-combined over hashes, normalized).
+
+    Pipeline parity: reference src/models/attention/hept.py:93-115 and
+    example/hept.py:61-79, with the geo/batch shifts unified as
+    `key = hash + code * hash_shift`.
+    """
+    q_hashed, k_hashed, hash_shift = lsh_mapping(alpha, q_hat, k_hat)
+    codes = jax.lax.stop_gradient(codes).astype(jnp.float32)
+    shift = codes * hash_shift  # (c, h, n)
+    q_key = q_hashed + shift
+    k_key = k_hashed + shift
+    if invalid is not None:
+        big = jnp.asarray(3.0e38, jnp.float32)
+        q_key = jnp.where(invalid[None, None, :], big, q_key)
+        k_key = jnp.where(invalid[None, None, :], big, k_key)
+
+    q_pos = jnp.argsort(q_key, axis=-1)
+    k_pos = jnp.argsort(k_key, axis=-1)
+
+    sq = sort_to_buckets(q_hat, q_pos, block_size)
+    sk = sort_to_buckets(k_hat, k_pos, block_size)
+    sv = sort_to_buckets(v, k_pos, block_size)
+
+    if impl == "pallas":
+        from .bucket_attn_pallas import bucket_rbf_attention_pallas
+
+        denom, so = bucket_rbf_attention_pallas(sq, sk, sv)
+    else:
+        denom, so = bucket_rbf_attention_xla(sq, sk, sv)
+
+    q_rev = invert_permutation(q_pos)
+    o = unsort_from_buckets(so, q_rev)  # (c, h, n, dv)
+    logits = unsort_from_buckets(denom, q_rev)  # (c, h, n, 1)
+    return o.sum(axis=0) / logits.sum(axis=0)

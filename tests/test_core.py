@@ -1,0 +1,189 @@
+"""Unit tests for hept_tpu.core: hashing, regions, buckets, padding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hept_tpu.core import (
+    bit_shift,
+    ceil_to_multiple,
+    e2lsh_init,
+    get_regions,
+    invert_permutation,
+    lsh_mapping,
+    quantile_partition,
+    region_codes,
+    replication_pad_plan,
+    sort_to_buckets,
+    unsort_from_buckets,
+)
+from hept_tpu.core.regions import geo_code
+
+
+class TestInvertPermutation:
+    def test_roundtrip_1d(self):
+        key = jax.random.PRNGKey(0)
+        perm = jax.random.permutation(key, 97)
+        inv = invert_permutation(perm)
+        np.testing.assert_array_equal(np.asarray(perm)[np.asarray(inv)], np.arange(97))
+
+    def test_roundtrip_3d(self):
+        key = jax.random.PRNGKey(1)
+        perms = jnp.stack(
+            [
+                jnp.stack([jax.random.permutation(k2, 64) for k2 in jax.random.split(k, 5)])
+                for k in jax.random.split(key, 3)
+            ]
+        )
+        inv = invert_permutation(perms)
+        gathered = jnp.take_along_axis(perms, inv, axis=-1)
+        np.testing.assert_array_equal(
+            np.asarray(gathered), np.broadcast_to(np.arange(64), (3, 5, 64))
+        )
+
+
+class TestQuantilePartition:
+    def test_region_ids_by_rank(self):
+        # 10 points with known coordinate order; 2.5 regions -> size ceil(10/2.5)=4
+        coords = jnp.asarray([5.0, 1.0, 9.0, 3.0, 7.0, 0.0, 8.0, 2.0, 6.0, 4.0])
+        sorted_idx = jnp.argsort(coords)
+        regions = quantile_partition(sorted_idx, jnp.asarray([[2.5]]))
+        ranks = np.argsort(np.argsort(np.asarray(coords)))
+        expected = ranks // 4 + 1
+        np.testing.assert_array_equal(np.asarray(regions[0]), expected)
+
+    def test_multiple_rows(self):
+        n = 30
+        sorted_idx = jax.random.permutation(jax.random.PRNGKey(2), n)
+        nr = jnp.asarray([[3.0], [5.0], [7.5]])
+        regions = quantile_partition(sorted_idx, nr)
+        assert regions.shape == (3, n)
+        # row r: max region id == ceil over its region size
+        for r, c in enumerate([3.0, 5.0, 7.5]):
+            size = np.ceil(n / c)
+            expected_max = (n - 1) // size + 1
+            assert regions[r].max() == expected_max
+            assert regions[r].min() == 1
+
+
+class TestGetRegions:
+    def test_shape_and_product(self):
+        r = get_regions(jax.random.PRNGKey(0), num_regions=150, n_hashes=3, num_heads=8)
+        assert r.shape == (3, 2, 8)
+        # product of AND-dims approximately num_regions (before rounding ±)
+        prod = np.asarray(jnp.prod(r, axis=1))
+        np.testing.assert_allclose(prod, 150.0, rtol=0.15)
+        # rounded to thirds
+        np.testing.assert_allclose(np.asarray(r) * 3, np.round(np.asarray(r) * 3), atol=1e-5)
+
+
+class TestBitShift:
+    def test_packs_disjoint_bits(self):
+        base = jnp.asarray([[3, 1, 0, 2]])
+        shifted = bit_shift(base, jnp.asarray([[1, 0, 2, 3]]))
+        # max_base=3 -> 2 bits
+        np.testing.assert_array_equal(np.asarray(shifted[0]), [1 * 4 + 3, 1, 2 * 4, 3 * 4 + 2])
+
+    def test_order_preserving(self):
+        # combined order: primary = shift_idx, secondary = base
+        key = jax.random.PRNGKey(3)
+        base = jax.random.randint(key, (1, 100), 0, 37)
+        hi = jax.random.randint(jax.random.PRNGKey(4), (1, 100), 0, 5)
+        packed = np.asarray(bit_shift(base, hi))[0]
+        order = np.lexsort((np.asarray(base)[0], np.asarray(hi)[0]))
+        np.testing.assert_array_equal(np.argsort(packed, kind="stable"), order)
+
+
+class TestSortUnsort:
+    def test_roundtrip(self):
+        c, h, n, d, bs = 3, 2, 40, 5, 8
+        key = jax.random.PRNGKey(5)
+        x = jax.random.normal(key, (h, n, d))
+        keys = jax.random.normal(jax.random.PRNGKey(6), (c, h, n))
+        perm = jnp.argsort(keys, axis=-1)
+        buckets = sort_to_buckets(x, perm, bs)
+        assert buckets.shape == (c, h, n // bs, bs, d)
+        back = unsort_from_buckets(buckets, invert_permutation(perm))
+        np.testing.assert_allclose(
+            np.asarray(back), np.broadcast_to(np.asarray(x), (c, h, n, d)), rtol=1e-6
+        )
+
+
+class TestLshMapping:
+    def test_shapes_and_shift(self):
+        h, n, d, c = 4, 32, 10, 3
+        alpha = e2lsh_init(jax.random.PRNGKey(0), h, d, c)
+        q = jax.random.normal(jax.random.PRNGKey(1), (h, n, d))
+        k = jax.random.normal(jax.random.PRNGKey(2), (h, n, d))
+        qh, kh, shift = lsh_mapping(alpha, q, k)
+        assert qh.shape == (c, h, n) and kh.shape == (c, h, n)
+        assert shift.shape == (c, h, 1)
+        lo = jnp.minimum(qh.min(-1), kh.min(-1))
+        hi = jnp.maximum(qh.max(-1), kh.max(-1))
+        np.testing.assert_allclose(np.asarray(shift[..., 0]), np.asarray(hi - lo), rtol=1e-6)
+        # projections match plain matmul
+        np.testing.assert_allclose(
+            np.asarray(qh), np.einsum("hnd,hdc->chn", np.asarray(q), np.asarray(alpha)),
+            rtol=1e-5, atol=1e-5,
+        )
+
+
+class TestRegionCodes:
+    def test_geo_code_separates_regions(self):
+        n, heads, hashes = 60, 2, 3
+        coords = jax.random.normal(jax.random.PRNGKey(7), (n, 2))
+        regions = get_regions(jax.random.PRNGKey(8), 25, hashes, heads)
+        re, rp = region_codes(coords, regions)
+        assert re.shape == (hashes * heads, n)
+        code = geo_code(re, rp, regions)
+        assert code.shape == (hashes, heads, n)
+        # code is a bijection of (eta, phi) region pairs: same code <=> same pair
+        re0 = np.asarray(re)[0]
+        rp0 = np.asarray(rp)[0]
+        c0 = np.asarray(code)[0, 0]
+        pair = re0 + 1000 * rp0
+        for p in np.unique(pair):
+            sel = pair == p
+            assert len(np.unique(c0[sel])) == 1
+        assert len(np.unique(c0)) == len(np.unique(pair))
+
+    def test_invalid_sort_last(self):
+        n = 16
+        coords = jnp.stack([jnp.arange(n, dtype=jnp.float32)] * 2, axis=1)
+        regions = get_regions(jax.random.PRNGKey(0), 4, 1, 1)
+        valid = jnp.arange(n) < 12
+        re, _ = region_codes(coords, regions, valid_mask=valid)
+        # pad points take the highest region id
+        assert np.asarray(re)[0, 12:].min() >= np.asarray(re)[0, :12].max()
+
+
+class TestReplicationPadPlan:
+    def test_exact_multiple_no_replicas(self):
+        n_total, bs = 32, 8
+        sorted_idx = jnp.arange(n_total)
+        gather, valid, inert = replication_pad_plan(jnp.asarray(16), n_total, bs, sorted_idx)
+        np.testing.assert_array_equal(np.asarray(valid), np.arange(n_total) < 16)
+        np.testing.assert_array_equal(np.asarray(inert), np.arange(n_total) >= 16)
+        np.testing.assert_array_equal(np.asarray(gather[:16]), np.arange(16))
+
+    def test_replicates_last_block_rows(self):
+        n_total, bs = 32, 8
+        n = 13  # padded_n = 16, pad_count = 3
+        code = jnp.concatenate([jnp.arange(n, 0, -1.0), jnp.full((n_total - n,), 1e9)])
+        sorted_idx = jnp.argsort(code)
+        gather, valid, inert = replication_pad_plan(jnp.asarray(n), n_total, bs, sorted_idx)
+        # ranks n-bs..n-bs+2 = ranks 5,6,7 of descending code -> points n-1-rank
+        expected_fill = [np.asarray(sorted_idx)[5 + j] for j in range(3)]
+        np.testing.assert_array_equal(np.asarray(gather[13:16]), expected_fill)
+        assert not np.asarray(valid)[13:].any()
+        np.testing.assert_array_equal(np.asarray(inert), np.arange(n_total) >= 16)
+        # inert region is whole buckets
+        assert (n_total - 16) % bs == 0
+
+
+def test_ceil_to_multiple():
+    assert ceil_to_multiple(0, 8) == 0
+    assert ceil_to_multiple(1, 8) == 8
+    assert ceil_to_multiple(8, 8) == 8
+    assert ceil_to_multiple(9, 8) == 16
