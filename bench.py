@@ -1,0 +1,123 @@
+"""Benchmark: tracking-60k training throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "points/sec/chip", "vs_baseline": N}
+
+Baseline: the reference repo records no numbers (BASELINE.md). We benchmark
+the same workload the reference's example notebook times (one >60k-point
+event, reference hyperparameters block_size=100/n_hashes=3/8 heads/4 layers)
+but as a full *training* step (fwd + bwd + adam). `vs_baseline` is computed
+against A100_TRAIN_POINTS_PER_SEC below — an estimate for the PyTorch
+reference on A100 documented in BASELINE.md; replace with a measured value
+when GPU hardware is available.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Estimated PyTorch-reference A100 training throughput for tracking-60k
+# (batch_size=1, fp32/tf32). See BASELINE.md "Throughput baseline assumption".
+A100_TRAIN_POINTS_PER_SEC = 1.0e6
+
+N_POINTS = 60_000
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hept_tpu.data.batching import pack_events
+    from hept_tpu.data.synthetic import synthetic_tracking_event
+    from hept_tpu.models import HeptTransformer, TransformerConfig
+    from hept_tpu.train.config import ExperimentConfig
+    from hept_tpu.train.losses import infonce_loss
+    from hept_tpu.train.optim import make_optimizer
+    from hept_tpu.train.state import TrainState
+    import optax
+
+    on_tpu = jax.default_backend() == "tpu"
+
+    rng = np.random.default_rng(0)
+    ev = synthetic_tracking_event(
+        rng, n_points=N_POINTS, avg_track_size=8, pairs_per_point=16
+    )
+    batch = pack_events([ev], block_size=100)
+
+    cfg = TransformerConfig(
+        in_dim=ev.x.shape[1],
+        coords_dim=ev.coords.shape[1],
+        task="tracking",
+        h_dim=24,
+        num_heads=8,
+        n_layers=4,
+        block_size=100,
+        n_hashes=3,
+        num_regions=150,
+        num_w_per_dist=10,
+        padding_mode="replicate",
+        attn_impl="pallas" if on_tpu else "xla",
+    )
+    model = HeptTransformer(cfg)
+    x = jnp.asarray(batch["x"][0])
+    coords = jnp.asarray(batch["coords"][0])
+    valid = jnp.asarray(batch["valid"][0])
+    pairs = jnp.asarray(batch["pairs"][0])
+    pair_mask = jnp.asarray(batch["pair_mask"][0])
+    cid = jnp.asarray(batch["cluster_ids"][0])
+    recons = jnp.asarray(batch["recons"][0])
+    pts = jnp.asarray(batch["pts"][0])
+
+    variables = model.init(jax.random.PRNGKey(0), x, coords, valid)
+    tx = make_optimizer("adam", lr=1e-2)
+    state = TrainState.create(variables, tx, jax.random.PRNGKey(1))
+
+    @jax.jit
+    def train_step(state):
+        def loss_of(params):
+            out = model.apply(
+                {"params": params, "constants": state.constants}, x, coords, valid
+            )
+            return infonce_loss(out, pairs, pair_mask, cid, recons, pts)
+
+        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params, opt_state=opt_state), loss
+
+    # compile + warmup
+    state, loss = train_step(state)
+    jax.block_until_ready(loss)
+    for _ in range(WARMUP - 1):
+        state, loss = train_step(state)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, loss = train_step(state)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / ITERS
+
+    pps = N_POINTS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "tracking-60k train points/sec/chip",
+                "value": round(pps, 1),
+                "unit": "points/sec",
+                "vs_baseline": round(pps / A100_TRAIN_POINTS_PER_SEC, 3),
+                "step_ms": round(dt * 1e3, 2),
+                "backend": jax.default_backend(),
+                "loss": float(loss),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -51,33 +51,37 @@ def get_regions(
     return flat.reshape(num_heads, n_hashes, num_and_hashes).transpose(1, 2, 0)
 
 
-def quantile_partition(sorted_indices: jax.Array, num_regions: jax.Array) -> jax.Array:
+def quantile_partition(
+    sorted_indices: jax.Array,
+    num_regions: jax.Array,
+    n_points: jax.Array | int | None = None,
+) -> jax.Array:
     """Assign each point an integer region id by coordinate rank.
 
     Args:
       sorted_indices: (n,) argsort of one coordinate (point index at each rank).
       num_regions: (R, 1) float region counts (one row per hash*head).
+      n_points: point count used for the region size. Defaults to the array
+        length (src parity — the reference partitions the *padded* array,
+        transformer.py:49-54). The batched example variant partitions each
+        graph's real points only (example/transformer.py:44-51), so callers
+        with padded buffers pass the per-event valid count here.
     Returns:
-      (R, n) float region ids in [1, ceil(n / num_regions)], where entry
-      [r, i] is the region of point i under row r's partition.
-
-    Matches reference hash_utils.py:14-22: region of a point is
-    `rank // ceil(n / num_regions) + 1`.
+      (R, n) float region ids in [1, ...]: `rank // ceil(n / num_regions) + 1`
+      (reference hash_utils.py:14-22).
     """
     n = sorted_indices.shape[-1]
-    region_size = jnp.ceil(n / num_regions)  # (R, 1)
-    ranks = invert_permutation(sorted_indices)  # (n,) rank of each point
-    base = jnp.arange(n, dtype=jnp.float32)[None, :]  # (1, n)
-    region_of_rank = jnp.floor(base / region_size) + 1.0  # (R, n)
-    return jnp.take_along_axis(
-        region_of_rank, jnp.broadcast_to(ranks[None, :], region_of_rank.shape), axis=1
-    )
+    total = n if n_points is None else n_points
+    region_size = jnp.ceil(total / num_regions)  # (R, 1)
+    ranks = invert_permutation(sorted_indices).astype(jnp.float32)  # (n,)
+    return jnp.floor(ranks[None, :] / region_size) + 1.0
 
 
 def region_codes(
     coords: jax.Array,
     regions: jax.Array,
     valid_mask: jax.Array | None = None,
+    n_points: jax.Array | int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Compute per-(hash*head) eta/phi region indices for one event.
 
@@ -100,8 +104,8 @@ def region_codes(
     # regions: (c, a, h) -> regions_h: (a, c*h)
     c, _, h = regions.shape
     regions_h = regions.transpose(1, 0, 2).reshape(2, c * h)
-    region_eta = quantile_partition(sorted_eta_idx, regions_h[0][:, None])
-    region_phi = quantile_partition(sorted_phi_idx, regions_h[1][:, None])
+    region_eta = quantile_partition(sorted_eta_idx, regions_h[0][:, None], n_points)
+    region_phi = quantile_partition(sorted_phi_idx, regions_h[1][:, None], n_points)
     return region_eta, region_phi
 
 

@@ -1,0 +1,109 @@
+"""Host-side dense batching: ragged events → fixed-shape arrays.
+
+The TPU-native replacement for the reference's flat ragged concatenation
+(PyG `Batch` + batch-index AND codes, example/transformer.py:35-63): events
+are packed into a dense (B, N_max, ...) layout with validity masks; supervision
+pairs are padded to a static E_max with a pair mask (SURVEY §7 "deterministic
+InfoNCE at scale": cap + mask, log drops).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Event:
+    """One point cloud with supervision (host-side, numpy).
+
+    Attributes:
+      x: (n, F) features; coords: (n, C) with eta/phi first.
+      cluster_ids: (n,) dense ids in [0, n); 0 = noise (tracking).
+      recons: (n,) reconstructability flags; pts: (n,) transverse momenta.
+      pairs: (2, e) supervision point pairs (tracking).
+      y: (n,) binary labels (pileup); is_neu: (n,) neutral-particle mask.
+    """
+
+    x: np.ndarray
+    coords: np.ndarray
+    cluster_ids: np.ndarray | None = None
+    recons: np.ndarray | None = None
+    pts: np.ndarray | None = None
+    pairs: np.ndarray | None = None
+    y: np.ndarray | None = None
+    is_neu: np.ndarray | None = None
+
+    @property
+    def n(self) -> int:
+        return self.x.shape[0]
+
+
+def _ceil_to(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def pack_events(
+    events: Sequence[Event],
+    block_size: int,
+    n_max: int | None = None,
+    e_max: int | None = None,
+) -> dict:
+    """Pack events into dense arrays.
+
+    Returns dict of numpy arrays with leading batch dim B:
+      x (B, N, F), coords (B, N, C), valid (B, N) bool, and when present:
+      cluster_ids/recons/pts/y/is_neu (B, N), pairs (B, 2, E) int32,
+      pair_mask (B, E) bool. N is a multiple of block_size.
+    """
+    b = len(events)
+    n_req = max(ev.n for ev in events)
+    n = _ceil_to(n_max or n_req, block_size)
+    if n < n_req:
+        raise ValueError(f"n_max={n_max} smaller than largest event ({n_req})")
+
+    f = events[0].x.shape[1]
+    c = events[0].coords.shape[1]
+    out = {
+        "x": np.zeros((b, n, f), np.float32),
+        "coords": np.zeros((b, n, c), np.float32),
+        "valid": np.zeros((b, n), bool),
+    }
+    has_pairs = events[0].pairs is not None
+    if has_pairs:
+        e_req = max(ev.pairs.shape[1] for ev in events)
+        e = e_max or e_req
+        out["pairs"] = np.zeros((b, 2, e), np.int32)
+        out["pair_mask"] = np.zeros((b, e), bool)
+    for name in ("cluster_ids", "recons", "pts", "y", "is_neu"):
+        if getattr(events[0], name) is not None:
+            dt = bool if name == "is_neu" else np.float32
+            if name == "cluster_ids":
+                dt = np.int32
+            out[name] = np.zeros((b, n), dt)
+
+    dropped = 0
+    for i, ev in enumerate(events):
+        ni = ev.n
+        out["x"][i, :ni] = ev.x
+        out["coords"][i, :ni] = ev.coords
+        out["valid"][i, :ni] = True
+        for name in ("cluster_ids", "recons", "pts", "y", "is_neu"):
+            val = getattr(ev, name)
+            if val is not None:
+                out[name][i, :ni] = val
+        if has_pairs:
+            ei = ev.pairs.shape[1]
+            take = min(ei, out["pairs"].shape[2])
+            dropped += ei - take
+            out["pairs"][i, :, :take] = ev.pairs[:, :take]
+            out["pair_mask"][i, :take] = True
+    if dropped:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "pack_events: dropped %d supervision pairs beyond e_max", dropped
+        )
+    return out

@@ -1,0 +1,109 @@
+"""HEPT attention flax module.
+
+The flagship mechanism (reference src/models/attention/hept.py:59-117,
+example/hept.py:31-81): RPE distance weights are folded into q̂/k̂ so the RBF
+kernel includes exp(-w·ΔR²); E2LSH + AND codes bucket the points; exact
+attention runs within each `block_size` bucket (fused Pallas kernel on TPU);
+`n_hashes` OR rounds are combined as Σnum/Σdenom.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...core.hashing import e2lsh_init
+from ...ops.bucket_attn import hept_attention_core
+from ..mlp import TorchLinear
+
+
+def prep_qk(query, key, w_rpe_weight, coords, num_heads, num_w_per_dist):
+    """Fold learnable per-head distance weights into q̂/k̂.
+
+    Args:
+      query, key: (n, num_heads, d).
+      w_rpe_weight: (num_heads * d, (coords_dim - 1) * num_w_per_dist) — the
+        torch-layout weight of the reference's `w_rpe` Linear
+        (transformer.py:205); only the weight is used.
+      coords: (n, coords_dim).
+    Returns: q̂, k̂ of shape (n, num_heads, d + coords_dim).
+
+    Math parity with reference hept.py:36-43: per head, per distance group r,
+    width w_hr = Σ_k exp(clamp(Σ_d W[h,d,r,k], 50)); the first coord pair
+    (eta, phi) shares one width (they form ΔR), hence the duplicated column.
+    """
+    n, h, d = query.shape
+    coords_dim = coords.shape[-1]
+    w = w_rpe_weight.reshape(h, d, coords_dim - 1, num_w_per_dist)
+    qw = jnp.exp(jnp.minimum(w.sum(axis=1), 50.0)).sum(axis=-1)  # (h, r)
+    qw_expanded = jnp.concatenate([qw[:, :1], qw], axis=-1)  # (h, coords_dim)
+    sqrt_w_r = jnp.sqrt(2.0 * qw_expanded)[None] * coords[:, None, :]  # (n, h, cd)
+    q_hat = jnp.concatenate([query, sqrt_w_r], axis=-1)
+    k_hat = jnp.concatenate([key, sqrt_w_r], axis=-1)
+    return q_hat, k_hat
+
+
+class HeptAttention(nn.Module):
+    """LSH-bucketed block-local RBF attention for one event.
+
+    The E2LSH directions live in the non-trainable "constants" collection
+    (the reference freezes them as requires_grad=False Parameters,
+    hash_utils.py:339-344).
+    """
+
+    h_dim: int
+    num_heads: int
+    block_size: int
+    n_hashes: int
+    num_w_per_dist: int
+    coords_dim: int
+    impl: str = "xla"  # "xla" | "pallas"
+
+    @nn.compact
+    def __call__(self, query, key, value, *, coords, codes, w_rpe_weight, invalid=None):
+        """Args:
+          query/key/value: (n, num_heads * h_dim) projections.
+          coords: (n, coords_dim) (pad rows zeroed by the caller).
+          codes: (n_hashes, num_heads, n) AND codes.
+          invalid: optional (n,) bool — rows forced to trailing buckets.
+        Returns: (n, h_dim).
+        """
+        n = query.shape[0]
+        h, d = self.num_heads, self.h_dim
+        hash_dim = d + self.coords_dim
+
+        query = query.reshape(n, h, d)
+        key = key.reshape(n, h, d)
+        value = value.reshape(n, h, d)
+
+        q_hat, k_hat = prep_qk(
+            query, key, w_rpe_weight, coords, h, self.num_w_per_dist
+        )
+
+        if invalid is not None:
+            # src-variant padding: zero padded rows of q̂/k̂/v
+            # (reference hept.py:89-91).
+            keep = jnp.logical_not(invalid)[:, None, None]
+            q_hat = jnp.where(keep, q_hat, 0.0)
+            k_hat = jnp.where(keep, k_hat, 0.0)
+            value = jnp.where(keep, value, 0.0)
+
+        alpha = self.variable(
+            "constants",
+            "e2lsh_alpha",
+            lambda: e2lsh_init(self.make_rng("params"), h, hash_dim, self.n_hashes),
+        ).value
+
+        out = hept_attention_core(
+            q_hat.transpose(1, 0, 2),
+            k_hat.transpose(1, 0, 2),
+            value.transpose(1, 0, 2),
+            alpha,
+            codes,
+            invalid,
+            block_size=self.block_size,
+            impl=self.impl,
+        )  # (h, n, d)
+        out = out.transpose(1, 0, 2).reshape(n, h * d)
+        return TorchLinear(d, name="out_linear")(out)

@@ -1,0 +1,222 @@
+"""HEPT transformer backbone (flax).
+
+Mirrors the reference skeleton (src/models/baselines/transformer.py:66-157,
+example/transformer.py:66-128): feature-MLP encoder → N pre-LN attention
+blocks with residual + FF → concat of all layer outputs → bias-free `W`
+projection → 5-layer tanh/LayerNorm MLP residual head → task head (pileup:
+PID embedding at input, sigmoid out_proj at output).
+
+The model is defined on ONE event with static shapes; batched imbalanced
+point clouds are handled TPU-style by `make_batched_apply` (vmap over a dense
+(B, N_max, ...) layout) instead of the reference's flat ragged concatenation
+with batch-index AND codes — same capability, regular shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.buckets import bit_shift
+from ..core.padding import replication_pad_plan
+from ..core.regions import geo_code, get_regions, region_codes
+from .attention.hept import HeptAttention
+from .mlp import FeedForward, OutMLP, TorchLinear
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    """Model hyperparameters (reference tracking_trans_hept.yaml:11-19)."""
+
+    in_dim: int
+    coords_dim: int
+    task: str = "tracking"  # "tracking" | "pileup"
+    attn_type: str = "hept"
+    h_dim: int = 24
+    num_heads: int = 8
+    n_layers: int = 4
+    block_size: int = 100
+    n_hashes: int = 3
+    num_regions: int = 150
+    num_w_per_dist: int = 10
+    num_and_hashes: int = 2
+    dropout: float = 0.1
+    padding_mode: str = "zero"  # "zero" (src parity) | "replicate" (example)
+    attn_impl: str = "xla"  # "xla" | "pallas"
+    num_classes: int = 1  # pileup head width
+
+
+class AttnBlock(nn.Module):
+    """Pre-LN attention block (reference transformer.py:160-229)."""
+
+    cfg: TransformerConfig
+
+    @nn.compact
+    def __call__(self, x, *, coords, codes, invalid, deterministic: bool):
+        cfg = self.cfg
+        h, d = cfg.num_heads, cfg.h_dim
+        x_normed = nn.LayerNorm(name="norm1")(x)
+        q = TorchLinear(d * h, use_bias=False, name="w_q")(x_normed)
+        k = TorchLinear(d * h, use_bias=False, name="w_k")(x_normed)
+        v = TorchLinear(d * h, use_bias=False, name="w_v")(x_normed)
+
+        # w_rpe: torch-layout weight (out, in) of the reference's Linear
+        # (transformer.py:205); bias exists there but is never used.
+        rpe_in = cfg.num_w_per_dist * (cfg.coords_dim - 1)
+        bound = 1.0 / jnp.sqrt(rpe_in)
+        w_rpe = self.param(
+            "w_rpe",
+            lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound),
+            (h * d, rpe_in),
+        )
+
+        attn = HeptAttention(
+            h_dim=d,
+            num_heads=h,
+            block_size=cfg.block_size,
+            n_hashes=cfg.n_hashes,
+            num_w_per_dist=cfg.num_w_per_dist,
+            coords_dim=cfg.coords_dim,
+            impl=cfg.attn_impl,
+            name="attn",
+        )
+        aggr = attn(
+            q, k, v, coords=coords, codes=codes, w_rpe_weight=w_rpe, invalid=invalid
+        )
+        x = x + nn.Dropout(cfg.dropout, deterministic=deterministic)(aggr)
+        ff = FeedForward(d, name="ff")(nn.LayerNorm(name="norm2")(x))
+        x = x + nn.Dropout(cfg.dropout, deterministic=deterministic)(ff)
+        return x
+
+
+class HeptTransformer(nn.Module):
+    """Single-event HEPT transformer with static shapes.
+
+    Inputs:
+      x: (N, in_dim) features (pileup: last column is the integer PID).
+      coords: (N, coords_dim); columns 0/1 are eta/phi.
+      valid: (N,) bool — real points. N must be a multiple of block_size.
+    Returns:
+      (N, out_dim) — embeddings (tracking) or sigmoid probabilities (pileup);
+      callers mask rows with `valid`.
+    """
+
+    cfg: TransformerConfig
+
+    @nn.compact
+    def __call__(self, x, coords, valid, *, deterministic: bool = True):
+        cfg = self.cfg
+        n = x.shape[0]
+        assert n % cfg.block_size == 0, "N must be a multiple of block_size"
+
+        regions = self.variable(
+            "constants",
+            "regions",
+            lambda: get_regions(
+                self.make_rng("params"),
+                cfg.num_regions,
+                cfg.n_hashes,
+                cfg.num_heads,
+                cfg.num_and_hashes,
+            ),
+        ).value
+
+        x, coords, codes, invalid = _prepare_event(x, coords, valid, regions, cfg)
+
+        if cfg.task == "pileup":
+            pids = x[..., -1].astype(jnp.int32)
+            pid_emb = nn.Embed(7, 10, name="pids_enc")(jnp.clip(pids, 0, 6))
+            x = jnp.concatenate([x[..., :-1], pid_emb], axis=-1)
+
+        h = TorchLinear(cfg.h_dim, name="feat_enc_0")(x)
+        h = nn.relu(h)
+        h = TorchLinear(cfg.h_dim, name="feat_enc_1")(h)
+
+        all_layers = [h]
+        for i in range(cfg.n_layers):
+            h = AttnBlock(cfg, name=f"block_{i}")(
+                h, coords=coords, codes=codes, invalid=invalid,
+                deterministic=deterministic,
+            )
+            all_layers.append(h)
+
+        cat = jnp.concatenate(all_layers, axis=-1)
+        out = TorchLinear(cfg.h_dim // 2, use_bias=False, name="W")(cat)
+        mlp = OutMLP(cfg.h_dim // 2, name="mlp_out")(out)
+        out = out + nn.Dropout(cfg.dropout, deterministic=deterministic)(mlp)
+
+        if cfg.task == "pileup":
+            out = TorchLinear(cfg.num_classes, name="out_proj")(out)
+            out = nn.sigmoid(out)
+
+        # Real rows occupy their original slots in both padding modes
+        # (replication pads only fill slots >= n_valid), so the caller's
+        # `valid` mask indexes `out` directly.
+        return out
+
+
+def _prepare_event(x, coords, valid, regions, cfg: TransformerConfig):
+    """Per-event bucketing precompute (runs once, shared by all layers).
+
+    zero mode (src parity, transformer.py:43-57): geo-shift AND codes from
+    padded coords (pads sort last), pad rows zeroed afterwards.
+
+    replicate mode (example parity, example/transformer.py:35-63): bit-packed
+    AND codes; trailing-bucket pad slots replicate real rows by sorted code
+    rank; slots beyond ceil(n/B)·B are inert whole buckets.
+    """
+    if cfg.padding_mode == "zero":
+        region_eta, region_phi = region_codes(coords, regions, valid_mask=valid)
+        codes = geo_code(region_eta, region_phi, regions)
+        invalid = jnp.logical_not(valid)
+        coords = jnp.where(valid[:, None], coords, 0.0)
+        return x, coords, codes, invalid
+
+    # replicate mode: region sizes from the event's *real* point count
+    # (example/transformer.py:44-51 partitions each graph separately).
+    region_eta, region_phi = region_codes(
+        coords, regions, valid_mask=valid, n_points=valid.sum()
+    )
+    packed = bit_shift(region_eta.astype(jnp.int32), region_phi.astype(jnp.int32))
+    c, _, h = regions.shape
+    codes = packed.reshape(c, h, -1)
+
+    n_total = x.shape[0]
+    n_valid = valid.sum()
+    code00 = jnp.where(valid, codes[0, 0], jnp.iinfo(jnp.int32).max)
+    sorted_code_idx = jnp.argsort(code00)
+    gather, _, inert = replication_pad_plan(
+        n_valid, n_total, cfg.block_size, sorted_code_idx
+    )
+    x = jnp.where(inert[:, None], 0.0, x[gather])
+    coords = jnp.where(inert[:, None], 0.0, coords[gather])
+    codes = jnp.take_along_axis(
+        codes, jnp.broadcast_to(gather[None, None, :], codes.shape), axis=-1
+    )
+    return x, coords, codes, inert
+
+
+def make_batched_apply(model: HeptTransformer):
+    """vmap a single-event model over a dense (B, N_max, ...) batch.
+
+    Parameters/constants are shared; dropout rngs split per event. This is the
+    TPU-native replacement for the reference's flat ragged batching with
+    batch-index AND codes (example/transformer.py:55-56).
+    """
+    def batched(variables, x, coords, valid, *, deterministic=True, rngs=None):
+        def one(xe, ce, ve, rng):
+            r = {"dropout": rng} if rng is not None else None
+            return model.apply(
+                variables, xe, ce, ve, deterministic=deterministic, rngs=r
+            )
+
+        if rngs is not None:
+            keys = jax.random.split(rngs["dropout"], x.shape[0])
+            return jax.vmap(one)(x, coords, valid, keys)
+        return jax.vmap(lambda xe, ce, ve: one(xe, ce, ve, None))(x, coords, valid)
+
+    return batched

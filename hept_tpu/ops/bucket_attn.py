@@ -112,11 +112,14 @@ def hept_attention_core(
     sk = sort_to_buckets(k_hat, k_pos, block_size)
     sv = sort_to_buckets(v, k_pos, block_size)
 
-    if impl == "pallas":
+    if impl == "pallas" and jax.default_backend() == "tpu":
         from .bucket_attn_pallas import bucket_rbf_attention_pallas
 
         denom, so = bucket_rbf_attention_pallas(sq, sk, sv)
     else:
+        # CPU/GPU fall back to the einsum path (pallas-TPU kernels don't
+        # lower on the host backend; tests exercise the kernel via
+        # interpret mode separately).
         denom, so = bucket_rbf_attention_xla(sq, sk, sv)
 
     q_rev = invert_permutation(q_pos)

@@ -1,0 +1,228 @@
+"""Fused Pallas TPU kernel for per-bucket RBF attention.
+
+Replaces the einsum chain of reference `src/models/attention/hept.py:22-33`
+(`qkv_res`). The XLA path materializes the (G, B, B) kernel matrix in HBM
+(~0.6 GB per layer at 60k points, read+written twice around the exp); this
+kernel keeps each B×B tile in VMEM, writing only the (B, Dv) numerator and
+(B,) denominator — a ~3x cut in HBM traffic for the attention math.
+
+Forward:  p = exp(min(q·kᵀ - ½|q|² - ½|k|², 0));  denom = Σ_j p + eps;
+          so = p @ v       — per bucket, one grid step per bucket.
+Backward: recomputes p (flash-attention-style rematerialization) and forms
+          dq = dl @ k - rowsum(dl)·q,  dk = dlᵀ @ q - colsum(dl)·k,
+          dv = pᵀ @ g_so,  with dl = p ⊙ (g_so·vᵀ + g_denom) ⊙ [logits < 0].
+
+Buckets whose size is not a multiple of the fp32 sublane tile (8) are padded;
+padded *key columns* are masked out of p (so they add no denominator mass),
+padded query rows produce garbage that the wrapper slices off, and padded
+gradient rows are zero so they contribute nothing in the backward kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bucket_attn import DENOM_EPS
+
+_NEG_INF = -1.0e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, denom_ref, so_ref, *, bs_real: int):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    qk = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    q_sq = -0.5 * jnp.sum(q * q, axis=-1, keepdims=True)
+    k_sq = -0.5 * jnp.sum(k * k, axis=-1, keepdims=True)
+    logits = qk + q_sq + jnp.transpose(k_sq)
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    p = jnp.where(col < bs_real, jnp.exp(jnp.minimum(logits, 0.0)), 0.0)
+    denom_ref[0, 0, :] = jnp.sum(p, axis=-1) + DENOM_EPS
+    so_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32)
+
+
+def _bwd_kernel(
+    q_ref, k_ref, v_ref, gso_ref, gden_ref, dq_ref, dk_ref, dv_ref, *, bs_real: int
+):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g_so = gso_ref[0]
+    g_den = gden_ref[0, 0, :]  # (B,)
+    qk = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    q_sq = -0.5 * jnp.sum(q * q, axis=-1, keepdims=True)
+    k_sq = -0.5 * jnp.sum(k * k, axis=-1, keepdims=True)
+    logits = qk + q_sq + jnp.transpose(k_sq)
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    key_ok = col < bs_real
+    p = jnp.where(key_ok, jnp.exp(jnp.minimum(logits, 0.0)), 0.0)
+
+    # dL/dp_ij = g_so_i · v_j + g_den_i ; clamp derivative gates on logits < 0.
+    gp = (
+        jax.lax.dot_general(
+            g_so, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        + g_den[:, None]
+    )
+    dl = jnp.where(jnp.logical_and(logits < 0.0, key_ok), p * gp, 0.0)
+
+    row_sum = jnp.sum(dl, axis=-1, keepdims=True)  # (B, 1)
+    col_sum = jnp.sum(dl, axis=0, keepdims=True)  # (1, B)
+    dq_ref[0] = (
+        jnp.dot(dl, k, preferred_element_type=jnp.float32) - row_sum * q
+    )
+    dk_ref[0] = (
+        jax.lax.dot_general(
+            dl, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        - jnp.transpose(col_sum) * k
+    )
+    dv_ref[0] = jax.lax.dot_general(
+        p, g_so, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _pad_last2(x: Array, rows: int) -> Array:
+    pad = rows - x.shape[-2]
+    if pad == 0:
+        return x
+    cfg = [(0, 0)] * (x.ndim - 2) + [(0, pad), (0, 0)]
+    return jnp.pad(x, cfg)
+
+
+def _flatten(sq: Array, sk: Array, sv: Array):
+    lead = sq.shape[:-2]
+    bs, d = sq.shape[-2:]
+    dv = sv.shape[-1]
+    g = 1
+    for s in lead:
+        g *= s
+    return (
+        sq.reshape(g, bs, d),
+        sk.reshape(g, bs, d),
+        sv.reshape(g, bs, dv),
+        lead,
+        g,
+        bs,
+        d,
+        dv,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def bucket_rbf_attention_pallas(sq: Array, sk: Array, sv: Array):
+    """Fused per-bucket RBF attention; drop-in for `bucket_rbf_attention_xla`.
+
+    Args: sq, sk: (..., B, D); sv: (..., B, Dv). fp32.
+    Returns: (denom (..., B, 1), so (..., B, Dv)).
+    """
+    denom, so = _fwd_impl(sq, sk, sv)
+    return denom, so
+
+
+def _fwd_impl(sq: Array, sk: Array, sv: Array):
+    q, k, v, lead, g, bs, d, dv = _flatten(sq, sk, sv)
+    bs_pad = _round_up(bs, 8)
+    q = _pad_last2(q, bs_pad)
+    k = _pad_last2(k, bs_pad)
+    v = _pad_last2(v, bs_pad)
+
+    kernel = functools.partial(_fwd_kernel, bs_real=bs)
+    flops_per = 2 * bs_pad * bs_pad * (d + dv)
+    denom, so = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, bs_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs_pad, dv), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bs_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs_pad, dv), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, 1, bs_pad), jnp.float32),
+            jax.ShapeDtypeStruct((g, bs_pad, dv), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=g * flops_per,
+            bytes_accessed=4 * g * bs_pad * (2 * d + 2 * dv + 1),
+            transcendentals=g * bs_pad * bs_pad,
+        ),
+    )(q, k, v)
+    denom = denom[:, 0, :bs].reshape(*lead, bs, 1)
+    so = so[:, :bs].reshape(*lead, bs, dv)
+    return denom, so
+
+
+def _fwd_rule(sq, sk, sv):
+    out = _fwd_impl(sq, sk, sv)
+    return out, (sq, sk, sv)
+
+
+def _bwd_rule(residuals, grads):
+    sq, sk, sv = residuals
+    g_denom, g_so = grads
+    q, k, v, lead, g, bs, d, dv = _flatten(sq, sk, sv)
+    gso = g_so.reshape(g, bs, dv)
+    gden = g_denom.reshape(g, 1, bs)
+    bs_pad = _round_up(bs, 8)
+    q = _pad_last2(q, bs_pad)
+    k = _pad_last2(k, bs_pad)
+    v = _pad_last2(v, bs_pad)
+    gso = _pad_last2(gso, bs_pad)
+    if bs_pad != bs:
+        gden = jnp.pad(gden, [(0, 0), (0, 0), (0, bs_pad - bs)])
+
+    kernel = functools.partial(_bwd_kernel, bs_real=bs)
+    flops_per = 2 * bs_pad * bs_pad * (3 * d + 2 * dv)
+    dq, dk, dv_out = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, bs_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs_pad, dv), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs_pad, dv), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bs_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bs_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs_pad, dv), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, bs_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((g, bs_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((g, bs_pad, dv), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=g * flops_per,
+            bytes_accessed=4 * g * bs_pad * (4 * d + 4 * dv + 1),
+            transcendentals=g * bs_pad * bs_pad,
+        ),
+    )(q, k, v, gso, gden)
+    bs_shape = (*lead, bs)
+    return (
+        dq[:, :bs].reshape(*bs_shape, d),
+        dk[:, :bs].reshape(*bs_shape, d),
+        dv_out[:, :bs].reshape(*bs_shape, dv),
+    )
+
+
+bucket_rbf_attention_pallas.defvjp(_fwd_rule, _bwd_rule)

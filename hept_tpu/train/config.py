@@ -1,0 +1,82 @@
+"""Typed experiment configs with the reference's YAML key surface.
+
+The reference loads plain YAML per (task, model) with keys: seed, model_name,
+model_kwargs, loss_name/kwargs, optimizer_name/kwargs, num_epochs, batch_size,
+lr_scheduler_name/kwargs (+lr_scheduler_metric), data_dir, dataset_name,
+main_metric, mode, resume/only_eval (tracking_trainer.py:198-208 and the
+configs/ tree). We mirror those keys into dataclasses with validation and
+defaults merging — the "typed dataclass configs" upgrade SURVEY §5 calls for.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Optional
+
+import yaml
+
+from ..models.transformer import TransformerConfig
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    task: str = "tracking"  # tracking | pileup
+    seed: int = 42
+    note: str = ""
+
+    model_name: str = "trans_hept"
+    model_kwargs: dict = dataclasses.field(default_factory=dict)
+
+    loss_name: str = "infonce"
+    loss_kwargs: dict = dataclasses.field(default_factory=dict)
+
+    optimizer_name: str = "adam"
+    optimizer_kwargs: dict = dataclasses.field(default_factory=dict)
+    num_epochs: int = 10
+    batch_size: int = 1
+
+    lr_scheduler_name: Optional[str] = None
+    lr_scheduler_kwargs: dict = dataclasses.field(default_factory=dict)
+    lr_scheduler_metric: Optional[str] = None
+
+    data_dir: str = "data/"
+    dataset_name: str = "synthetic-tracking-1k"
+    main_metric: str = "accuracy@0.9"
+    mode: str = "max"
+
+    resume: Optional[str] = None
+    only_eval: bool = False
+    log_dir: str = "runs/"
+    ckpt_every: int = 0  # extra periodic checkpointing (0 = best-only)
+
+    # TPU-specific knobs (no reference counterpart)
+    attn_impl: str = "pallas"
+    padding_mode: str = "replicate"
+    n_devices: Optional[int] = None  # DP width; None = all
+
+    def model_config(self, in_dim: int, coords_dim: int) -> TransformerConfig:
+        kw = dict(self.model_kwargs)
+        kw.pop("pe_type", None)  # HEPT ignores pe_type=none (yaml parity key)
+        return TransformerConfig(
+            in_dim=in_dim,
+            coords_dim=coords_dim,
+            task=self.task,
+            attn_impl=self.attn_impl,
+            padding_mode=self.padding_mode,
+            **kw,
+        )
+
+
+def load_config(path: str | Path, **overrides) -> ExperimentConfig:
+    """Load a YAML config (reference key surface) into ExperimentConfig."""
+    raw = yaml.safe_load(Path(path).read_text()) or {}
+    raw.pop("device", None)  # torch device strings have no meaning here
+    raw.pop("log_tensorboard", None)
+    raw.pop("num_threads", None)
+    raw.update(overrides)
+    known = {f.name for f in dataclasses.fields(ExperimentConfig)}
+    unknown = set(raw) - known
+    if unknown:
+        raise ValueError(f"unknown config keys: {sorted(unknown)}")
+    return ExperimentConfig(**raw)

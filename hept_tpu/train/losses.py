@@ -1,0 +1,111 @@
+"""Training losses: InfoNCE (tracking) and Focal (pileup).
+
+TPU-native rebuild of reference `src/utils/losses.py`:
+* the per-anchor negative sums use `jax.ops.segment_sum` (deterministic on
+  XLA by construction — no sort+segment_csr trick needed, losses.py:66-74);
+* the ragged pair list becomes a static-size padded array with a mask
+  (pair counts vary per event; SURVEY §7 "hard parts");
+* cluster ids must be dense ints in [0, n) (the data pipeline remaps
+  particle ids per event), so `unique(...)`'s dynamic shape is avoided.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+
+def pair_filter(cluster_ids, pairs, recons, pts, pt_thres: float = 0.9):
+    """Positive-pair eligibility (reference src/utils/metrics.py:8-15):
+    both endpoints reconstructable and above the pt threshold."""
+    p0, p1 = pairs[0], pairs[1]
+    recon_ok = (recons[p0] != 0) & (recons[p1] != 0)
+    pt_ok = (pts[p0] > pt_thres) & (pts[p1] > pt_thres)
+    return recon_ok & pt_ok
+
+
+def infonce_loss(
+    embeddings: Array,
+    pairs: Array,
+    pair_mask: Array,
+    cluster_ids: Array,
+    recons: Array,
+    pts: Array,
+    *,
+    tau: float = 0.05,
+    dist_metric: str = "l2_rbf",
+    pt_thres: float = 0.9,
+) -> Array:
+    """Contrastive InfoNCE over supervision pairs (reference losses.py:8-54).
+
+    Args:
+      embeddings: (N, d).
+      pairs: (2, E) point-index pairs (padded; pad entries may repeat index 0).
+      pair_mask: (E,) bool — real pairs.
+      cluster_ids: (N,) dense particle ids in [0, N); 0 = noise.
+      recons, pts: (N,) reconstructability flags / transverse momenta.
+    Returns: scalar loss (mean over clusters of per-cluster mean pos-pair loss).
+    """
+    n = embeddings.shape[0]
+    p0, p1 = pairs[0], pairs[1]
+
+    same_cluster = cluster_ids[p0] == cluster_ids[p1]
+    pos_mask = same_cluster & pair_filter(cluster_ids, pairs, recons, pts, pt_thres)
+    pos_mask = pos_mask & pair_mask
+    # The reference counts every non-positive pair as a negative
+    # (losses.py:19: `~all_pos_pair_mask`), including filter rejects.
+    neg_mask = jnp.logical_not(pos_mask) & pair_mask
+
+    if dist_metric == "cosine":
+        e0, e1 = embeddings[p0], embeddings[p1]
+        sim = jnp.sum(e0 * e1, -1) / jnp.maximum(
+            jnp.linalg.norm(e0, axis=-1) * jnp.linalg.norm(e1, axis=-1), 1e-8
+        )
+    elif dist_metric == "l2_rbf":
+        d = jnp.linalg.norm(embeddings[p0] - embeddings[p1], axis=-1)
+        sigma = 0.75
+        sim = jnp.exp(-d / (2 * sigma**2))
+    elif dist_metric == "l2_inverse":
+        d = jnp.linalg.norm(embeddings[p0] - embeddings[p1], axis=-1)
+        sim = 1.0 / (d + 1.0)
+    else:
+        raise NotImplementedError(dist_metric)
+
+    logit = sim / tau
+    max_sim = jnp.max(jnp.where(pair_mask, logit, -jnp.inf))
+    exp_sim = jnp.exp(logit - jax.lax.stop_gradient(max_sim))
+
+    # Per-anchor negative mass, then looked up per positive pair.
+    neg_sum = jax.ops.segment_sum(
+        jnp.where(neg_mask, exp_sim, 0.0), p0, num_segments=n
+    )
+    numerator = exp_sim
+    denominator = neg_sum[p0]
+    loss_per_pair = -jnp.log(numerator / (numerator + denominator + 1e-30) + 1e-30)
+
+    # Per-cluster mean of positive-pair losses, then mean over non-empty
+    # clusters (reference losses.py:35-39 via unique+scatter-mean).
+    labels = jnp.where(pos_mask, cluster_ids[p0], n - 1)  # dump pads on a slot
+    w = pos_mask.astype(embeddings.dtype)
+    cluster_sum = jax.ops.segment_sum(loss_per_pair * w, labels, num_segments=n)
+    cluster_cnt = jax.ops.segment_sum(w, labels, num_segments=n)
+    nonempty = cluster_cnt > 0
+    cluster_mean = jnp.where(nonempty, cluster_sum / jnp.maximum(cluster_cnt, 1), 0.0)
+    return jnp.sum(cluster_mean) / jnp.maximum(jnp.sum(nonempty), 1)
+
+
+def focal_loss(
+    probs: Array, targets: Array, mask: Array | None = None,
+    alpha: float = 0.25, gamma: float = 2.0,
+) -> Array:
+    """Focal BCE on probabilities (reference losses.py:98-108; the model
+    applies sigmoid, matching the reference's sigmoid head)."""
+    p = jnp.clip(probs, 1e-7, 1.0 - 1e-7)
+    bce = -(targets * jnp.log(p) + (1.0 - targets) * jnp.log(1.0 - p))
+    pt = jnp.exp(-bce)
+    fl = alpha * (1.0 - pt) ** gamma * bce
+    if mask is not None:
+        fl = jnp.where(mask, fl, 0.0)
+        return jnp.sum(fl) / jnp.maximum(jnp.sum(mask), 1)
+    return jnp.mean(fl)

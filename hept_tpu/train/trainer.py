@@ -1,0 +1,263 @@
+"""Training harness: tracking + pileup trainers.
+
+Rebuilds reference `src/tracking_trainer.py` / `src/pileup_trainer.py` as a
+single harness: epoch loop over train/valid/test, per-epoch metrics,
+best-by-valid checkpointing, LR schedules (step / cosine / plateau), and a
+jitted data-parallel train step over the device mesh.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.datasets import SplitDataset, get_dataset
+from ..models.transformer import HeptTransformer
+from ..parallel.dp import make_dp_train_step, shard_batch
+from ..parallel.mesh import make_mesh
+from ..train.config import ExperimentConfig
+from ..train.losses import focal_loss, infonce_loss
+from ..train.metrics import (
+    acc_and_pr_at_k,
+    binary_classification_metrics,
+    point_filter,
+)
+from ..train.optim import PlateauState, apply_plateau_scale, make_lr_schedule, make_optimizer
+from ..train.state import CheckpointManager, TrainState
+from ..utils.logging import ScalarLogger, log
+
+
+def make_loss_fn(cfg: ExperimentConfig):
+    if cfg.task == "tracking":
+        tau = cfg.loss_kwargs.get("tau", 0.05)
+        dist = cfg.loss_kwargs.get("dist_metric", "l2_rbf")
+
+        def loss_fn(outputs, batch):
+            def per_event(out, pairs, pmask, cid, recons, pts):
+                return infonce_loss(
+                    out, pairs, pmask, cid, recons, pts, tau=tau, dist_metric=dist
+                )
+
+            losses = jax.vmap(per_event)(
+                outputs,
+                batch["pairs"],
+                batch["pair_mask"],
+                batch["cluster_ids"],
+                batch["recons"],
+                batch["pts"],
+            )
+            return jnp.mean(losses)
+
+        return loss_fn
+
+    if cfg.task == "pileup":
+        alpha = cfg.loss_kwargs.get("alpha", 0.25)
+        gamma = cfg.loss_kwargs.get("gamma", 2.0)
+
+        def loss_fn(outputs, batch):
+            mask = batch["is_neu"] & batch["valid"]
+            return focal_loss(
+                outputs[..., 0], batch["y"], mask, alpha=alpha, gamma=gamma
+            )
+
+        return loss_fn
+    raise NotImplementedError(cfg.task)
+
+
+def make_model_apply(model: HeptTransformer):
+    def model_apply(variables, batch, rngs=None):
+        def one(x, coords, valid, rng):
+            r = {"dropout": rng} if rng is not None else None
+            return model.apply(
+                variables, x, coords, valid,
+                deterministic=rng is None, rngs=r,
+            )
+
+        if rngs is not None:
+            keys = jax.random.split(rngs["dropout"], batch["x"].shape[0])
+            return jax.vmap(one, in_axes=(0, 0, 0, 0))(
+                batch["x"], batch["coords"], batch["valid"], keys
+            )
+        return jax.vmap(lambda x, c, v: one(x, c, v, None))(
+            batch["x"], batch["coords"], batch["valid"]
+        )
+
+    return model_apply
+
+
+def evaluate(cfg, model_apply, variables, dataset: SplitDataset, split: str,
+             block_size: int, n_max: int, e_max: int):
+    """Task metrics over a split (host-side aggregation, eval only)."""
+    eval_apply = jax.jit(lambda v, b: model_apply(v, b))
+    if cfg.task == "tracking":
+        accs, precs, recs = {0.0: [], 0.5: [], 0.9: []}, {0.0: [], 0.5: [], 0.9: []}, {0.0: [], 0.5: [], 0.9: []}
+        losses = []
+        loss_fn = make_loss_fn(cfg)
+        for batch in dataset.iter_batches(split, cfg.batch_size, block_size,
+                                          n_max=n_max, e_max=e_max):
+            jb = jax.tree_util.tree_map(jnp.asarray, batch)
+            out = eval_apply(variables, jb)
+            losses.append(float(loss_fn(out, jb)))
+            for i in range(out.shape[0]):
+                cid = jb["cluster_ids"][i]
+                valid = jb["valid"][i]
+                for thres in (0.0, 0.5, 0.9):
+                    mask = point_filter(cid, jb["recons"][i], jb["pts"][i], thres) & valid
+                    a, p, r = acc_and_pr_at_k(out[i], cid, mask, valid=valid)
+                    accs[thres].append(a)
+                    precs[thres].append(p)
+                    recs[thres].append(r)
+        res = {"loss": float(np.mean(losses)) if losses else float("nan")}
+        for thres in (0.0, 0.5, 0.9):
+            res[f"accuracy@{thres:g}"] = float(np.mean(accs[thres]))
+            res[f"precision@{thres:g}"] = float(np.mean(precs[thres]))
+            res[f"recall@{thres:g}"] = float(np.mean(recs[thres]))
+        return res
+
+    # pileup
+    probs, targets, losses = [], [], []
+    loss_fn = make_loss_fn(cfg)
+    for batch in dataset.iter_batches(split, cfg.batch_size, block_size, n_max=n_max):
+        jb = jax.tree_util.tree_map(jnp.asarray, batch)
+        out = eval_apply(variables, jb)
+        losses.append(float(loss_fn(out, jb)))
+        mask = np.asarray(jb["is_neu"] & jb["valid"])
+        probs.append(np.asarray(out[..., 0])[mask])
+        targets.append(np.asarray(jb["y"])[mask])
+    res = binary_classification_metrics(
+        np.concatenate(probs), np.concatenate(targets)
+    )
+    res["loss"] = float(np.mean(losses)) if losses else float("nan")
+    return res
+
+
+def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) -> dict:
+    """Train one seed to completion; returns best test metrics
+    (reference tracking_trainer.py:112-196 equivalent)."""
+    rng = jax.random.PRNGKey(cfg.seed)
+    if dataset is None:
+        dataset = get_dataset(cfg.dataset_name, seed=cfg.seed, data_dir=cfg.data_dir) \
+            if cfg.dataset_name.startswith(("tracking-", "pileup")) \
+            else get_dataset(cfg.dataset_name, seed=cfg.seed)
+
+    block_size = cfg.model_kwargs.get("block_size", 100)
+    n_max = _ceil(max(ev.n for s in ("train", "valid", "test")
+                      for ev in getattr(dataset, s)), block_size)
+    e_max = max(
+        (ev.pairs.shape[1] for s in ("train", "valid", "test")
+         for ev in getattr(dataset, s) if ev.pairs is not None),
+        default=0,
+    )
+
+    model_cfg = cfg.model_config(dataset.in_dim, dataset.coords_dim)
+    model = HeptTransformer(model_cfg)
+
+    # init on one event
+    ev0 = dataset.train[0]
+    from ..data.batching import pack_events
+
+    b0 = pack_events([ev0], block_size, n_max=n_max, e_max=e_max or None)
+    rng, init_rng = jax.random.split(rng)
+    variables = model.init(
+        init_rng,
+        jnp.asarray(b0["x"][0]),
+        jnp.asarray(b0["coords"][0]),
+        jnp.asarray(b0["valid"][0]),
+    )
+
+    steps_per_epoch = max(1, len(dataset.train) // cfg.batch_size)
+    schedule = make_lr_schedule(
+        cfg.lr_scheduler_name,
+        cfg.optimizer_kwargs.get("lr", 1e-3),
+        steps_per_epoch=steps_per_epoch,
+        num_epochs=cfg.num_epochs,
+        **{k: v for k, v in cfg.lr_scheduler_kwargs.items() if k in
+           ("gamma", "step_size", "num_warmup_epochs", "eta_min_ratio")},
+    )
+    tx = make_optimizer(cfg.optimizer_name, schedule=schedule)
+    plateau = None
+    if cfg.lr_scheduler_name == "impatient":
+        plateau = PlateauState(
+            factor=cfg.lr_scheduler_kwargs.get("factor", 0.5),
+            patience=cfg.lr_scheduler_kwargs.get("patience", 20),
+            mode=cfg.lr_scheduler_kwargs.get("mode", "min"),
+        )
+
+    rng, state_rng = jax.random.split(rng)
+    state = TrainState.create(variables, tx, state_rng)
+
+    mesh = make_mesh(cfg.n_devices)
+    model_apply = make_model_apply(model)
+    loss_fn = make_loss_fn(cfg)
+    train_step = make_dp_train_step(model_apply, loss_fn, tx, mesh, donate=False)
+
+    run_dir = Path(cfg.log_dir) / f"{cfg.task}_{cfg.model_name}_{cfg.seed}_{cfg.note}"
+    logger = ScalarLogger(run_dir)
+    ckpt = CheckpointManager(run_dir / "ckpt")
+
+    if cfg.resume:
+        state = ckpt.restore(state)
+        log(f"resumed from step {int(state.step)}")
+
+    best = -np.inf if cfg.mode == "max" else np.inf
+    best_test: dict = {}
+    sign = 1.0 if cfg.mode == "max" else -1.0
+    data_rng = np.random.default_rng(cfg.seed)
+
+    if cfg.only_eval:
+        test = evaluate(cfg, model_apply, state.variables, dataset, "test",
+                        block_size, n_max, e_max)
+        logger.close()
+        return test
+
+    for epoch in range(cfg.num_epochs):
+        t0 = time.time()
+        epoch_losses = []
+        for batch in dataset.iter_batches(
+            "train", cfg.batch_size, block_size, n_max=n_max, e_max=e_max or None,
+            shuffle_rng=data_rng,
+        ):
+            sb = shard_batch(batch, mesh)
+            state, metrics = train_step(state, sb)
+            epoch_losses.append(float(metrics["loss"]))
+
+        train_loss = float(np.mean(epoch_losses))
+        valid = evaluate(cfg, model_apply, state.variables, dataset, "valid",
+                        block_size, n_max, e_max)
+        logger.write(epoch, {"loss": train_loss, "epoch_sec": time.time() - t0},
+                     prefix="train/")
+        logger.write(epoch, valid, prefix="valid/")
+
+        if plateau is not None:
+            metric_key = cfg.lr_scheduler_metric or "loss"
+            metric_val = valid.get(metric_key, train_loss) if metric_key != "loss" else train_loss
+            scale = plateau.update(metric_val)
+            state = state.replace(
+                opt_state=apply_plateau_scale(state.opt_state, scale)
+            )
+
+        score = valid.get(cfg.main_metric, valid.get("loss"))
+        if sign * score > sign * best:
+            best = score
+            test = evaluate(cfg, model_apply, state.variables, dataset, "test",
+                            block_size, n_max, e_max)
+            best_test = test
+            logger.write(epoch, test, prefix="test/")
+            ckpt.save(int(state.step), state, metrics={cfg.main_metric: float(score)})
+        log(
+            f"epoch {epoch}: train_loss={train_loss:.4f} "
+            f"valid[{cfg.main_metric}]={score:.4f} best={best:.4f}"
+        )
+
+    ckpt.close()
+    logger.close()
+    return best_test
+
+
+def _ceil(n, m):
+    return ((n + m - 1) // m) * m

@@ -1,0 +1,125 @@
+"""Losses + metrics unit tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hept_tpu.train import (
+    acc_and_pr_at_k,
+    binary_classification_metrics,
+    focal_loss,
+    infonce_loss,
+)
+
+
+def _toy_pairs():
+    # 8 points, clusters: [1,1,1,2,2,0,0,0]; all recon, pt 1.0
+    n = 8
+    cid = jnp.asarray([1, 1, 1, 2, 2, 0, 0, 0], jnp.int32)
+    recons = jnp.ones(n)
+    pts = jnp.ones(n) * 2.0
+    pairs = jnp.asarray(
+        [[0, 0, 1, 3, 0, 5, 2], [1, 2, 2, 4, 3, 6, 7]], jnp.int32
+    )
+    mask = jnp.ones(pairs.shape[1], bool)
+    return n, cid, recons, pts, pairs, mask
+
+
+class TestInfoNCE:
+    def test_finite_and_positive(self):
+        n, cid, recons, pts, pairs, mask = _toy_pairs()
+        emb = jax.random.normal(jax.random.PRNGKey(0), (n, 4))
+        loss = infonce_loss(emb, pairs, mask, cid, recons, pts)
+        assert np.isfinite(float(loss)) and float(loss) > 0
+
+    def test_pad_pairs_no_effect(self):
+        n, cid, recons, pts, pairs, mask = _toy_pairs()
+        emb = jax.random.normal(jax.random.PRNGKey(1), (n, 4))
+        base = infonce_loss(emb, pairs, mask, cid, recons, pts)
+        pad_pairs = jnp.concatenate(
+            [pairs, jnp.zeros((2, 5), jnp.int32)], axis=1
+        )
+        pad_mask = jnp.concatenate([mask, jnp.zeros(5, bool)])
+        padded = infonce_loss(emb, pad_pairs, pad_mask, cid, recons, pts)
+        np.testing.assert_allclose(float(base), float(padded), rtol=1e-6)
+
+    def test_perfect_embedding_lower_loss(self):
+        n, cid, recons, pts, pairs, mask = _toy_pairs()
+        bad = jax.random.normal(jax.random.PRNGKey(2), (n, 4))
+        good = jnp.asarray(cid, jnp.float32)[:, None] * jnp.ones((n, 4)) * 5.0
+        l_bad = infonce_loss(bad, pairs, mask, cid, recons, pts)
+        l_good = infonce_loss(good, pairs, mask, cid, recons, pts)
+        assert float(l_good) < float(l_bad)
+
+    def test_low_pt_pairs_excluded_from_positives(self):
+        n, cid, recons, pts, pairs, mask = _toy_pairs()
+        emb = jax.random.normal(jax.random.PRNGKey(3), (n, 4))
+        low_pts = jnp.ones(n) * 0.1  # below 0.9 threshold: no positives
+        loss = infonce_loss(emb, pairs, mask, cid, recons, low_pts)
+        assert float(loss) == 0.0
+
+    def test_grad_finite(self):
+        n, cid, recons, pts, pairs, mask = _toy_pairs()
+        emb = jax.random.normal(jax.random.PRNGKey(4), (n, 4))
+        g = jax.grad(lambda e: infonce_loss(e, pairs, mask, cid, recons, pts))(emb)
+        assert np.isfinite(np.asarray(g)).all()
+
+
+class TestFocal:
+    def test_matches_manual(self):
+        p = jnp.asarray([0.9, 0.2, 0.7])
+        t = jnp.asarray([1.0, 0.0, 1.0])
+        got = float(focal_loss(p, t))
+        bce = -(t * np.log(np.asarray(p)) + (1 - t) * np.log(1 - np.asarray(p)))
+        pt = np.exp(-bce)
+        expected = (0.25 * (1 - pt) ** 2 * bce).mean()
+        np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+    def test_mask(self):
+        p = jnp.asarray([0.9, 0.5, 0.7])
+        t = jnp.asarray([1.0, 1.0, 1.0])
+        m = jnp.asarray([True, False, True])
+        got = float(focal_loss(p, t, m))
+        full = float(focal_loss(p[jnp.asarray([0, 2])], t[jnp.asarray([0, 2])]))
+        np.testing.assert_allclose(got, full, rtol=1e-6)
+
+
+class TestRetrievalMetrics:
+    def test_perfect_embedding_perfect_scores(self):
+        # clusters of size 3, far apart in embedding space
+        n_clusters, size = 5, 3
+        n = n_clusters * size
+        cid = jnp.repeat(jnp.arange(1, n_clusters + 1), size)
+        emb = jnp.repeat(
+            jnp.arange(n_clusters, dtype=jnp.float32)[:, None] * 100.0, size, axis=0
+        )
+        emb = emb + jax.random.normal(jax.random.PRNGKey(0), (n, 1)) * 0.01
+        emb = jnp.concatenate([emb, jnp.zeros((n, 3))], axis=1)
+        mask = jnp.ones(n, bool)
+        acc, prec, recall = acc_and_pr_at_k(emb, cid, mask, k=19, tile=8)
+        assert acc == 1.0
+        assert recall == 1.0
+        np.testing.assert_allclose(prec, (size - 1) / 19.0, rtol=1e-6)
+
+    def test_padding_invariance(self):
+        n = 12
+        cid = jnp.asarray([1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4], jnp.int32)
+        emb = jax.random.normal(jax.random.PRNGKey(1), (n, 4))
+        mask = jnp.ones(n, bool)
+        base = acc_and_pr_at_k(emb, cid, mask, k=19, tile=4)
+        emb_p = jnp.concatenate([emb, jnp.zeros((4, 4))])
+        cid_p = jnp.concatenate([cid, jnp.zeros(4, jnp.int32)])
+        mask_p = jnp.concatenate([mask, jnp.zeros(4, bool)])
+        valid_p = jnp.concatenate([jnp.ones(n, bool), jnp.zeros(4, bool)])
+        padded = acc_and_pr_at_k(emb_p, cid_p, mask_p, valid=valid_p, k=19, tile=4)
+        np.testing.assert_allclose(base, padded, rtol=1e-6)
+
+
+class TestBinaryMetrics:
+    def test_known_values(self):
+        t = np.asarray([1, 0, 1, 0, 1])
+        p = np.asarray([0.9, 0.1, 0.8, 0.4, 0.3])
+        m = binary_classification_metrics(p, t)
+        assert 0.5 < m["auc"] <= 1.0
+        assert 0.5 < m["roc"] <= 1.0
+        assert 0 < m["f1"] <= 1.0

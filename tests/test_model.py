@@ -1,0 +1,132 @@
+"""HeptTransformer model tests: shapes, grads, padding invariance, batching."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hept_tpu.models import HeptTransformer, TransformerConfig, make_batched_apply
+
+
+def _make(cfg_kwargs=None, n=64, seed=0):
+    cfg = TransformerConfig(
+        in_dim=5,
+        coords_dim=4,
+        h_dim=8,
+        num_heads=2,
+        n_layers=2,
+        block_size=16,
+        n_hashes=2,
+        num_regions=9,
+        num_w_per_dist=3,
+        **(cfg_kwargs or {}),
+    )
+    model = HeptTransformer(cfg)
+    key = jax.random.PRNGKey(seed)
+    kx, kc, kp = jax.random.split(key, 3)
+    x = jax.random.normal(kx, (n, cfg.in_dim))
+    coords = jax.random.normal(kc, (n, cfg.coords_dim))
+    valid = jnp.ones(n, dtype=bool)
+    variables = model.init(kp, x, coords, valid)
+    return model, cfg, variables, x, coords, valid
+
+
+class TestForward:
+    def test_tracking_output_shape(self):
+        model, cfg, variables, x, coords, valid = _make()
+        out = model.apply(variables, x, coords, valid)
+        assert out.shape == (64, cfg.h_dim // 2)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_pileup_output_sigmoid(self):
+        model, cfg, variables, x, coords, valid = _make({"task": "pileup"})
+        # pileup: last feature column is integer PID in [0, 7)
+        x = x.at[:, -1].set(jnp.arange(64) % 7)
+        variables = model.init(jax.random.PRNGKey(1), x, coords, valid)
+        out = model.apply(variables, x, coords, valid)
+        assert out.shape == (64, 1)
+        assert (np.asarray(out) >= 0).all() and (np.asarray(out) <= 1).all()
+
+    def test_constants_collection_frozen_arrays(self):
+        _, cfg, variables, *_ = _make()
+        assert "constants" in variables
+        flat = jax.tree_util.tree_leaves(variables["constants"])
+        # regions + one alpha per layer
+        assert len(flat) == 1 + cfg.n_layers
+
+
+class TestPaddingModes:
+    @pytest.mark.parametrize("mode", ["zero", "replicate"])
+    def test_padded_event_runs_and_is_finite(self, mode):
+        model, cfg, variables, x, coords, valid = _make({"padding_mode": mode})
+        valid = jnp.arange(64) < 45  # ragged event in a 64-slot buffer
+        out = model.apply(variables, x, coords, valid)
+        assert np.isfinite(np.asarray(out)[:45]).all()
+
+    def test_inert_padding_does_not_change_real_outputs(self):
+        # Replicate mode: with n_valid a multiple of block_size there are no
+        # replicas and no partial buckets, and region sizes derive from the
+        # valid count — so a full-buffer event vs the same event + inert slots
+        # must give identical real-row outputs. (Zero mode intentionally lacks
+        # this invariance: the reference partitions the padded array.)
+        mode = "replicate"
+        model, cfg, variables, x, coords, valid = _make({"padding_mode": mode}, n=32)
+        out_full = model.apply(variables, x, coords, valid)
+
+        cfg2 = TransformerConfig(**{**cfg.__dict__})
+        model2 = HeptTransformer(cfg2)
+        x2 = jnp.concatenate([x, jnp.zeros((32, x.shape[1]))])
+        c2 = jnp.concatenate([coords, jnp.zeros((32, coords.shape[1]))])
+        v2 = jnp.arange(64) < 32
+        out_pad = model2.apply(variables, x2, c2, v2)
+        np.testing.assert_allclose(
+            np.asarray(out_pad[:32]), np.asarray(out_full), rtol=2e-4, atol=1e-5
+        )
+
+
+class TestTraining:
+    def test_grads_flow_and_constants_untouched(self):
+        model, cfg, variables, x, coords, valid = _make()
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params, "constants": variables["constants"]},
+                x, coords, valid,
+            )
+            return jnp.sum(out**2)
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+        nonzero = sum(float(np.abs(np.asarray(g)).sum()) > 0 for g in leaves)
+        assert nonzero >= len(leaves) - 2  # norm biases may start at 0 grad
+
+    def test_dropout_rng(self):
+        model, cfg, variables, x, coords, valid = _make()
+        out1 = model.apply(
+            variables, x, coords, valid, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(0)},
+        )
+        out2 = model.apply(
+            variables, x, coords, valid, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        assert np.abs(np.asarray(out1) - np.asarray(out2)).max() > 1e-6
+
+
+class TestBatchedApply:
+    def test_vmap_matches_loop(self):
+        model, cfg, variables, x, coords, valid = _make()
+        B = 3
+        xs = jnp.stack([x, x * 0.5, x * 2.0])
+        cs = jnp.stack([coords, coords + 1.0, coords - 1.0])
+        vs = jnp.stack([valid, jnp.arange(64) < 48, jnp.arange(64) < 32])
+        batched = make_batched_apply(model)
+        out_b = batched(variables, xs, cs, vs)
+        assert out_b.shape == (B, 64, cfg.h_dim // 2)
+        for i in range(B):
+            out_i = model.apply(variables, xs[i], cs[i], vs[i])
+            n_i = int(vs[i].sum())
+            np.testing.assert_allclose(
+                np.asarray(out_b[i, :n_i]), np.asarray(out_i[:n_i]), rtol=1e-5, atol=1e-6
+            )

@@ -1,0 +1,88 @@
+"""Pallas bucket-attention kernel vs the XLA golden path.
+
+On CPU these run in interpreter mode with tiny shapes (the interpreter loops
+the grid in Python, so sizes matter); the same kernel is exercised at real
+sizes on TPU hardware by bench.py and the TPU-only test below.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from hept_tpu.ops import bucket_rbf_attention_xla
+from hept_tpu.ops.bucket_attn_pallas import bucket_rbf_attention_pallas
+
+ON_TPU = jax.default_backend() == "tpu"
+
+
+def _ctx():
+    if ON_TPU:
+        import contextlib
+
+        return contextlib.nullcontext()
+    return pltpu.force_tpu_interpret_mode()
+
+
+def _rand(key, shape):
+    return jax.random.normal(key, shape, dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("bs", [8, 12])  # 12 exercises sublane padding
+def test_forward_matches_xla(bs):
+    g, d, dv = 2, 5, 4
+    sq = _rand(jax.random.PRNGKey(0), (g, bs, d))
+    sk = _rand(jax.random.PRNGKey(1), (g, bs, d))
+    sv = _rand(jax.random.PRNGKey(2), (g, bs, dv))
+    with _ctx():
+        denom_p, so_p = bucket_rbf_attention_pallas(sq, sk, sv)
+    denom_x, so_x = bucket_rbf_attention_xla(sq, sk, sv)
+    np.testing.assert_allclose(np.asarray(denom_p), np.asarray(denom_x), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(so_p), np.asarray(so_x), rtol=1e-4, atol=1e-5)
+
+
+def test_forward_leading_dims():
+    c, h, nb, bs, d, dv = 2, 1, 2, 8, 5, 4
+    sq = _rand(jax.random.PRNGKey(3), (c, h, nb, bs, d))
+    sk = _rand(jax.random.PRNGKey(4), (c, h, nb, bs, d))
+    sv = _rand(jax.random.PRNGKey(5), (c, h, nb, bs, dv))
+    with _ctx():
+        denom_p, so_p = bucket_rbf_attention_pallas(sq, sk, sv)
+    denom_x, so_x = bucket_rbf_attention_xla(sq, sk, sv)
+    assert denom_p.shape == denom_x.shape == (c, h, nb, bs, 1)
+    np.testing.assert_allclose(np.asarray(so_p), np.asarray(so_x), rtol=1e-4, atol=1e-5)
+
+
+def test_backward_matches_xla():
+    g, bs, d, dv = 2, 8, 5, 4
+    sq = _rand(jax.random.PRNGKey(6), (g, bs, d))
+    sk = _rand(jax.random.PRNGKey(7), (g, bs, d))
+    sv = _rand(jax.random.PRNGKey(8), (g, bs, dv))
+    gd = _rand(jax.random.PRNGKey(9), (g, bs, 1))
+    gs = _rand(jax.random.PRNGKey(10), (g, bs, dv))
+
+    def loss(fn):
+        def f(q, k, v):
+            denom, so = fn(q, k, v)
+            return jnp.sum(denom * gd) + jnp.sum(so * gs)
+
+        return f
+
+    with _ctx():
+        grads_p = jax.grad(loss(bucket_rbf_attention_pallas), argnums=(0, 1, 2))(sq, sk, sv)
+    grads_x = jax.grad(loss(bucket_rbf_attention_xla), argnums=(0, 1, 2))(sq, sk, sv)
+    for gp, gx in zip(grads_p, grads_x):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="real-size kernel check needs TPU")
+def test_tpu_real_sizes():
+    g, bs, d, dv = 48, 100, 31, 24
+    sq = _rand(jax.random.PRNGKey(0), (g, bs, d))
+    sk = _rand(jax.random.PRNGKey(1), (g, bs, d))
+    sv = _rand(jax.random.PRNGKey(2), (g, bs, dv))
+    denom_p, so_p = bucket_rbf_attention_pallas(sq, sk, sv)
+    denom_x, so_x = bucket_rbf_attention_xla(sq, sk, sv)
+    np.testing.assert_allclose(np.asarray(denom_p), np.asarray(denom_x), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(so_p), np.asarray(so_x), rtol=1e-4, atol=1e-5)
