@@ -29,13 +29,22 @@ class SplitDataset:
 
     def iter_batches(self, split: str, batch_size: int, block_size: int,
                      n_max: int | None = None, e_max: int | None = None,
-                     shuffle_rng: np.random.Generator | None = None):
+                     shuffle_rng: np.random.Generator | None = None,
+                     drop_last: bool | None = None):
+        """Yield packed batches. Training (shuffle_rng set) drops a trailing
+        partial batch by default (static shapes + DP divisibility); eval keeps
+        it so small splits still produce metrics."""
+        if drop_last is None:
+            drop_last = shuffle_rng is not None
         events = getattr(self, split)
         order = np.arange(len(events))
         if shuffle_rng is not None:
             shuffle_rng.shuffle(order)
-        for i in range(0, len(order) - batch_size + 1, batch_size):
-            batch_events = [events[j] for j in order[i : i + batch_size]]
+        for i in range(0, len(order), batch_size):
+            chunk = order[i : i + batch_size]
+            if len(chunk) < batch_size and drop_last:
+                break
+            batch_events = [events[j] for j in chunk]
             yield pack_events(batch_events, block_size, n_max=n_max, e_max=e_max)
 
 

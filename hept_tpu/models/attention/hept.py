@@ -61,7 +61,8 @@ class HeptAttention(nn.Module):
     impl: str = "xla"  # "xla" | "pallas"
 
     @nn.compact
-    def __call__(self, query, key, value, *, coords, codes, w_rpe_weight, invalid=None):
+    def __call__(self, query, key, value, *, coords, codes, w_rpe_weight,
+                 invalid=None, **_):
         """Args:
           query/key/value: (n, num_heads * h_dim) projections.
           coords: (n, coords_dim) (pad rows zeroed by the caller).

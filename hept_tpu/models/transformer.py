@@ -48,21 +48,115 @@ class TransformerConfig:
     padding_mode: str = "zero"  # "zero" (src parity) | "replicate" (example)
     attn_impl: str = "xla"  # "xla" | "pallas"
     num_classes: int = 1  # pileup head width
+    # baseline-attention knobs (reference configs/*)
+    pe_type: str = "none"  # none | learned (performer/reformer/smyrf)
+    nb_features: int = 200  # performer / flt outer features
+    nb_features_inner: int = 6  # flt inner RFF features
+    bucket_size: int = 100  # reformer / smyrf cluster size
+    knn_k: int = 16  # pct in-jit kNN graph degree (reference datasets: 60)
+
+
+class PELearned(nn.Module):
+    """Learned absolute positional embedding (reference window_utils.py:23-41)."""
+
+    h_dim: int
+
+    @nn.compact
+    def __call__(self, coords):
+        h = TorchLinear(self.h_dim)(coords)
+        h = nn.LayerNorm()(h)
+        h = nn.relu(h)
+        return TorchLinear(self.h_dim)(h)
+
+
+def _make_attention(cfg: TransformerConfig):
+    """Attention-mechanism factory (reference transformer.py:172-192)."""
+    common = dict(h_dim=cfg.h_dim, num_heads=cfg.num_heads, name="attn")
+    if cfg.attn_type == "hept":
+        return HeptAttention(
+            block_size=cfg.block_size,
+            n_hashes=cfg.n_hashes,
+            num_w_per_dist=cfg.num_w_per_dist,
+            coords_dim=cfg.coords_dim,
+            impl=cfg.attn_impl,
+            **common,
+        )
+    if cfg.attn_type == "performer":
+        from .attention.performer import PerformerAttention
+
+        return PerformerAttention(
+            nb_features=cfg.nb_features,
+            num_w_per_dist=cfg.num_w_per_dist,
+            coords_dim=cfg.coords_dim,
+            pe_type=cfg.pe_type,
+            **common,
+        )
+    if cfg.attn_type == "flt":
+        from .attention.flt import FLTAttention
+
+        return FLTAttention(
+            nb_features=cfg.nb_features,
+            nb_features_inner=cfg.nb_features_inner,
+            num_w_per_dist=cfg.num_w_per_dist,
+            coords_dim=cfg.coords_dim,
+            **common,
+        )
+    if cfg.attn_type == "reformer":
+        from .attention.reformer import ReformerAttention
+
+        return ReformerAttention(
+            bucket_size=cfg.bucket_size, n_hashes=cfg.n_hashes, **common
+        )
+    if cfg.attn_type == "smyrf":
+        from .attention.smyrf import SmyrfAttention
+
+        return SmyrfAttention(
+            bucket_size=cfg.bucket_size,
+            n_hashes=cfg.n_hashes,
+            num_w_per_dist=cfg.num_w_per_dist,
+            coords_dim=cfg.coords_dim,
+            pe_type=cfg.pe_type,
+            **common,
+        )
+    if cfg.attn_type == "sb":
+        from .attention.sb import SBAttention
+
+        return SBAttention(
+            bucket_size=cfg.bucket_size,
+            n_hashes=cfg.n_hashes,
+            nb_features=cfg.nb_features,
+            num_w_per_dist=cfg.num_w_per_dist,
+            coords_dim=cfg.coords_dim,
+            pe_type=cfg.pe_type,
+            **common,
+        )
+    if cfg.attn_type == "pct":
+        from .attention.pct import PCTAttention
+
+        return PCTAttention(coords_dim=cfg.coords_dim, **common)
+    if cfg.attn_type == "flatformer":
+        from .attention.flatformer import FlatformerAttention
+
+        return FlatformerAttention(
+            group_size=cfg.bucket_size,
+            num_w_per_dist=cfg.num_w_per_dist,
+            pe_type=cfg.pe_type,
+            **common,
+        )
+    raise NotImplementedError(cfg.attn_type)
 
 
 class AttnBlock(nn.Module):
-    """Pre-LN attention block (reference transformer.py:160-229)."""
+    """Pre-LN attention block with attention-type dispatch
+    (reference transformer.py:160-229)."""
 
     cfg: TransformerConfig
 
     @nn.compact
-    def __call__(self, x, *, coords, codes, invalid, deterministic: bool):
+    def __call__(self, x, *, coords, codes, invalid, valid, edges, edge_mask,
+                 deterministic: bool):
         cfg = self.cfg
         h, d = cfg.num_heads, cfg.h_dim
-        x_normed = nn.LayerNorm(name="norm1")(x)
-        q = TorchLinear(d * h, use_bias=False, name="w_q")(x_normed)
-        k = TorchLinear(d * h, use_bias=False, name="w_k")(x_normed)
-        v = TorchLinear(d * h, use_bias=False, name="w_v")(x_normed)
 
         # w_rpe: torch-layout weight (out, in) of the reference's Linear
         # (transformer.py:205); bias exists there but is never used.
@@ -74,19 +168,49 @@ class AttnBlock(nn.Module):
             (h * d, rpe_in),
         )
 
-        attn = HeptAttention(
-            h_dim=d,
-            num_heads=h,
-            block_size=cfg.block_size,
-            n_hashes=cfg.n_hashes,
-            num_w_per_dist=cfg.num_w_per_dist,
-            coords_dim=cfg.coords_dim,
-            impl=cfg.attn_impl,
-            name="attn",
-        )
-        aggr = attn(
-            q, k, v, coords=coords, codes=codes, w_rpe_weight=w_rpe, invalid=invalid
-        )
+        pe = None
+        if cfg.pe_type == "learned" and cfg.attn_type != "hept":
+            pe = PELearned(d, name="pe")(coords)
+
+        attn = _make_attention(cfg)
+
+        if cfg.attn_type == "flatformer":
+            # Flatformer replaces the whole block (transformer.py:226-227):
+            # 4 inner BasicLayers over serpentine orderings, no outer
+            # norm/residual/FF. Returns (x, [4 intermediate outputs]).
+            return attn(
+                x,
+                coords=coords,
+                pe=pe if pe is not None else coords,
+                valid=valid,
+                w_rpe_weight=w_rpe,
+            )
+
+        if cfg.attn_type == "pct":
+            # PCT path (transformer.py:220-224): only w_q, no residual qkv.
+            aggr = attn(
+                TorchLinear(d * h, use_bias=False, name="w_q")(
+                    nn.LayerNorm(name="norm1")(x)
+                ),
+                coords=coords,
+                valid=valid,
+                edges=edges,
+                edge_mask=edge_mask,
+            )
+        else:
+            x_pe = x + pe if pe is not None else x
+            x_normed = nn.LayerNorm(name="norm1")(x_pe)
+            q = TorchLinear(d * h, use_bias=False, name="w_q")(x_normed)
+            k = TorchLinear(d * h, use_bias=False, name="w_k")(x_normed)
+            v = TorchLinear(d * h, use_bias=False, name="w_v")(x_normed)
+            aggr = attn(
+                q, k, v,
+                coords=coords,
+                codes=codes,
+                w_rpe_weight=w_rpe,
+                invalid=invalid,
+                valid=valid,
+            )
         x = x + nn.Dropout(cfg.dropout, deterministic=deterministic)(aggr)
         ff = FeedForward(d, name="ff")(nn.LayerNorm(name="norm2")(x))
         x = x + nn.Dropout(cfg.dropout, deterministic=deterministic)(ff)
@@ -113,19 +237,23 @@ class HeptTransformer(nn.Module):
         n = x.shape[0]
         assert n % cfg.block_size == 0, "N must be a multiple of block_size"
 
-        regions = self.variable(
-            "constants",
-            "regions",
-            lambda: get_regions(
-                self.make_rng("params"),
-                cfg.num_regions,
-                cfg.n_hashes,
-                cfg.num_heads,
-                cfg.num_and_hashes,
-            ),
-        ).value
+        regions = None
+        if cfg.attn_type == "hept":
+            regions = self.variable(
+                "constants",
+                "regions",
+                lambda: get_regions(
+                    self.make_rng("params"),
+                    cfg.num_regions,
+                    cfg.n_hashes,
+                    cfg.num_heads,
+                    cfg.num_and_hashes,
+                ),
+            ).value
 
-        x, coords, codes, invalid = _prepare_event(x, coords, valid, regions, cfg)
+        x, coords, codes, invalid, edges, edge_mask = _prepare_event(
+            x, coords, valid, regions, cfg
+        )
 
         if cfg.task == "pileup":
             pids = x[..., -1].astype(jnp.int32)
@@ -138,11 +266,18 @@ class HeptTransformer(nn.Module):
 
         all_layers = [h]
         for i in range(cfg.n_layers):
-            h = AttnBlock(cfg, name=f"block_{i}")(
-                h, coords=coords, codes=codes, invalid=invalid,
-                deterministic=deterministic,
+            out = AttnBlock(cfg, name=f"block_{i}")(
+                h, coords=coords, codes=codes, invalid=invalid, valid=valid,
+                edges=edges, edge_mask=edge_mask, deterministic=deterministic,
             )
-            all_layers.append(h)
+            if cfg.attn_type == "flatformer":
+                # concat all 4 inner-layer outputs (transformer.py:134-136;
+                # W width h_dim * (n_layers*4 + 1), transformer.py:106)
+                h, shifts = out
+                all_layers.extend(shifts)
+            else:
+                h = out
+                all_layers.append(h)
 
         cat = jnp.concatenate(all_layers, axis=-1)
         out = TorchLinear(cfg.h_dim // 2, use_bias=False, name="W")(cat)
@@ -160,21 +295,49 @@ class HeptTransformer(nn.Module):
 
 
 def _prepare_event(x, coords, valid, regions, cfg: TransformerConfig):
-    """Per-event bucketing precompute (runs once, shared by all layers).
+    """Per-event precompute (runs once, shared by all layers).
 
-    zero mode (src parity, transformer.py:43-57): geo-shift AND codes from
-    padded coords (pads sort last), pad rows zeroed afterwards.
+    hept: AND codes + padding plan. zero mode (src parity,
+    transformer.py:43-57): geo-shift codes from padded coords (pads sort
+    last), pad rows zeroed afterwards. replicate mode (example parity,
+    example/transformer.py:35-63): bit-packed codes; trailing-bucket pad
+    slots replicate real rows by sorted code rank; slots beyond ceil(n/B)·B
+    are inert whole buckets.
 
-    replicate mode (example parity, example/transformer.py:35-63): bit-packed
-    AND codes; trailing-bucket pad slots replicate real rows by sorted code
-    rank; slots beyond ceil(n/B)·B are inert whole buckets.
+    pct: in-jit kNN graph on eta/phi with self loops — the TPU-regular
+    replacement for the datasets' precomputed knn_graph(k=60) edge_index.
+
+    Returns (x, coords, codes, invalid, edges, edge_mask).
     """
+    if cfg.attn_type == "pct":
+        from ..ops.knn import knn_brute_force
+
+        n = x.shape[0]
+        k = cfg.knn_k
+        _, idx = knn_brute_force(coords[:, :2], coords[:, :2], k + 1, valid=valid)
+        dst = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
+        src = idx[:, 1:].reshape(-1).astype(jnp.int32)
+        # self loops appended (reference pct.py:69-72)
+        loops = jnp.arange(n, dtype=jnp.int32)
+        edges = jnp.stack(
+            [jnp.concatenate([src, loops]), jnp.concatenate([dst, loops])]
+        )
+        edge_mask = jnp.concatenate(
+            [valid[src] & valid[dst], valid]
+        )
+        coords = jnp.where(valid[:, None], coords, 0.0)
+        return x, coords, None, jnp.logical_not(valid), edges, edge_mask
+
+    if cfg.attn_type != "hept":
+        coords = jnp.where(valid[:, None], coords, 0.0)
+        return x, coords, None, jnp.logical_not(valid), None, None
+
     if cfg.padding_mode == "zero":
         region_eta, region_phi = region_codes(coords, regions, valid_mask=valid)
         codes = geo_code(region_eta, region_phi, regions)
         invalid = jnp.logical_not(valid)
         coords = jnp.where(valid[:, None], coords, 0.0)
-        return x, coords, codes, invalid
+        return x, coords, codes, invalid, None, None
 
     # replicate mode: region sizes from the event's *real* point count
     # (example/transformer.py:44-51 partitions each graph separately).
@@ -197,7 +360,7 @@ def _prepare_event(x, coords, valid, regions, cfg: TransformerConfig):
     codes = jnp.take_along_axis(
         codes, jnp.broadcast_to(gather[None, None, :], codes.shape), axis=-1
     )
-    return x, coords, codes, inert
+    return x, coords, codes, inert, None, None
 
 
 def make_batched_apply(model: HeptTransformer):

@@ -57,7 +57,8 @@ class ExperimentConfig:
 
     def model_config(self, in_dim: int, coords_dim: int) -> TransformerConfig:
         kw = dict(self.model_kwargs)
-        kw.pop("pe_type", None)  # HEPT ignores pe_type=none (yaml parity key)
+        if self.model_name.startswith("trans_"):
+            kw.setdefault("attn_type", self.model_name.split("_", 1)[1])
         return TransformerConfig(
             in_dim=in_dim,
             coords_dim=coords_dim,

@@ -57,17 +57,23 @@ def infonce_loss(
     # (losses.py:19: `~all_pos_pair_mask`), including filter rejects.
     neg_mask = jnp.logical_not(pos_mask) & pair_mask
 
+    def safe_norm(diff):
+        # sqrt has an infinite slope at 0; padded pairs are (0, 0) self-pairs
+        # whose zero distance would otherwise poison the backward pass with
+        # NaN (0 * NaN stays NaN through the masking `where`s).
+        return jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+
     if dist_metric == "cosine":
         e0, e1 = embeddings[p0], embeddings[p1]
         sim = jnp.sum(e0 * e1, -1) / jnp.maximum(
-            jnp.linalg.norm(e0, axis=-1) * jnp.linalg.norm(e1, axis=-1), 1e-8
+            safe_norm(e0) * safe_norm(e1), 1e-8
         )
     elif dist_metric == "l2_rbf":
-        d = jnp.linalg.norm(embeddings[p0] - embeddings[p1], axis=-1)
+        d = safe_norm(embeddings[p0] - embeddings[p1])
         sigma = 0.75
         sim = jnp.exp(-d / (2 * sigma**2))
     elif dist_metric == "l2_inverse":
-        d = jnp.linalg.norm(embeddings[p0] - embeddings[p1], axis=-1)
+        d = safe_norm(embeddings[p0] - embeddings[p1])
         sim = 1.0 / (d + 1.0)
     else:
         raise NotImplementedError(dist_metric)

@@ -55,6 +55,8 @@ def _knn_retrieval_scores(
     emb_p = jnp.pad(embeddings, ((0, pad_n), (0, 0)))
     p_sq = jnp.sum(embeddings * embeddings, axis=-1)
 
+    kk = min(k + 1, n)  # events smaller than K+1 retrieve all points
+
     def one_tile(q_tile):
         d2 = (
             jnp.sum(q_tile * q_tile, axis=-1, keepdims=True)
@@ -62,13 +64,15 @@ def _knn_retrieval_scores(
             + p_sq[None, :]
         )
         d2 = jnp.where(valid[None, :], d2, jnp.inf)
-        _, idx = jax.lax.top_k(-d2, k + 1)
+        _, idx = jax.lax.top_k(-d2, kk)
         return idx
 
-    idx = jax.lax.map(one_tile, emb_p.reshape(-1, tile, d)).reshape(-1, k + 1)[:n]
+    idx = jax.lax.map(one_tile, emb_p.reshape(-1, tile, d)).reshape(-1, kk)[:n]
     # Drop self (nearest) — reference slices indices[i, 1:K+1] (metrics.py:76).
     nbrs = idx[:, 1:]
-    matches = cluster_ids[nbrs] == cluster_ids[:, None]  # (N, K)
+    matches = cluster_ids[nbrs] == cluster_ids[:, None]  # (N, kk-1)
+    if kk - 1 < k:
+        matches = jnp.pad(matches, ((0, 0), (0, k - (kk - 1))))
     pos = jnp.arange(k)[None, :]
     within_k = pos < k_i[:, None]
     m_total = jnp.sum(matches, axis=1)

@@ -191,7 +191,12 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
     rng, state_rng = jax.random.split(rng)
     state = TrainState.create(variables, tx, state_rng)
 
-    mesh = make_mesh(cfg.n_devices)
+    n_dev = cfg.n_devices
+    if n_dev is None:
+        # largest device count that evenly divides the event batch
+        avail = len(jax.devices())
+        n_dev = max(d for d in range(1, avail + 1) if cfg.batch_size % d == 0)
+    mesh = make_mesh(n_dev)
     model_apply = make_model_apply(model)
     loss_fn = make_loss_fn(cfg)
     train_step = make_dp_train_step(model_apply, loss_fn, tx, mesh, donate=False)
@@ -242,6 +247,8 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
             )
 
         score = valid.get(cfg.main_metric, valid.get("loss"))
+        if np.isnan(score):
+            score = -sign * np.inf
         if sign * score > sign * best:
             best = score
             test = evaluate(cfg, model_apply, state.variables, dataset, "test",
