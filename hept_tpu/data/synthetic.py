@@ -16,6 +16,7 @@ Feature/coordinate layout parity:
 from __future__ import annotations
 
 import numpy as np
+from scipy.spatial import cKDTree
 
 from .batching import Event
 
@@ -90,34 +91,23 @@ def synthetic_tracking_event(
 
 def _radius_pairs(eta, phi, radius, k, rng):
     """Supervision pairs: up to k neighbours within `radius` per point
-    (the role of reference tracking.py:204-209's radius-graph pairs)."""
+    (the role of reference tracking.py:204-209's radius-graph pairs).
+    Vectorized via cKDTree — the 60k-point bench generates these on host."""
     n = len(eta)
-    pos = np.stack([eta, phi], axis=1)
-    # grid hash for near-linear neighbour search
-    cell = radius
-    grid: dict[tuple[int, int], list[int]] = {}
-    cells = np.floor(pos / cell).astype(np.int64)
-    for i, c in enumerate(map(tuple, cells)):
-        grid.setdefault(c, []).append(i)
-    src, dst = [], []
-    for i in range(n):
-        cx, cy = cells[i]
-        cand = []
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                cand.extend(grid.get((cx + dx, cy + dy), ()))
-        cand = np.asarray([j for j in cand if j != i])
-        if len(cand) == 0:
-            continue
-        d = np.linalg.norm(pos[cand] - pos[i], axis=1)
-        near = cand[d < radius]
-        if len(near) > k:
-            near = rng.choice(near, k, replace=False)
-        src.extend([i] * len(near))
-        dst.extend(near.tolist())
-    if not src:
+    pos = np.stack([eta, phi], axis=1).astype(np.float64)
+    tree = cKDTree(pos)
+    # query k+1 nearest (self included), keep those within radius
+    kk = min(k + 1, n)
+    dist, idx = tree.query(pos, k=kk)
+    if kk == 1:
+        dist, idx = dist[:, None], idx[:, None]
+    src = np.repeat(np.arange(n), kk - 1)
+    dst = idx[:, 1:].reshape(-1)
+    good = dist[:, 1:].reshape(-1) < radius
+    src, dst = src[good], dst[good]
+    if len(src) == 0:
         return np.zeros((2, 0), np.int32)
-    return np.stack([np.asarray(src), np.asarray(dst)]).astype(np.int32)
+    return np.stack([src, dst]).astype(np.int32)
 
 
 def synthetic_pileup_event(
