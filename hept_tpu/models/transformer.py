@@ -49,7 +49,8 @@ class TransformerConfig:
     attn_impl: str = "xla"  # "xla" | "pallas"
     num_classes: int = 1  # pileup head width
     # baseline-attention knobs (reference configs/*)
-    pe_type: str = "none"  # none | learned (performer/reformer/smyrf)
+    pe_type: str = "none"  # none | learned | fixed
+    use_ckpt: bool = False  # rematerialize attention blocks (reference use_ckpt)
     nb_features: int = 200  # performer / flt outer features
     nb_features_inner: int = 6  # flt inner RFF features
     bucket_size: int = 100  # reformer / smyrf cluster size
@@ -67,6 +68,37 @@ class PELearned(nn.Module):
         h = nn.LayerNorm()(h)
         h = nn.relu(h)
         return TorchLinear(self.h_dim)(h)
+
+
+class PESinusoidal(nn.Module):
+    """Fixed sinusoidal PE over discretized eta/phi
+    (reference window_utils.py:44-85): per-axis sin/cos interleave at
+    temperature-scaled frequencies, zero-padded to h_dim."""
+
+    h_dim: int
+    pos_temperature: float = 10000.0
+    bins: int = 1000
+
+    @nn.compact
+    def __call__(self, coords):
+        from .attention.flatformer import discretize_coords
+
+        dis = discretize_coords(coords[:, :2], self.bins)
+        pos_length = (self.h_dim // 4) * 2
+        freqs = jnp.arange(pos_length, dtype=jnp.float32)
+        inv_freq = self.pos_temperature ** (2 * (freqs // 2) / pos_length)
+
+        def enc(t):  # (n,) -> (n, pos_length)
+            p = t[:, None] / inv_freq[None, :]
+            return jnp.stack(
+                [jnp.sin(p[:, ::2]), jnp.cos(p[:, 1::2])], axis=-1
+            ).reshape(t.shape[0], -1)
+
+        pe = jnp.concatenate([enc(dis[:, 0]), enc(dis[:, 1])], axis=-1)
+        gap = self.h_dim - pe.shape[-1]
+        if gap > 0:
+            pe = jnp.concatenate([pe, jnp.zeros((pe.shape[0], gap))], axis=-1)
+        return pe
 
 
 def _make_attention(cfg: TransformerConfig):
@@ -169,8 +201,11 @@ class AttnBlock(nn.Module):
         )
 
         pe = None
-        if cfg.pe_type == "learned" and cfg.attn_type != "hept":
-            pe = PELearned(d, name="pe")(coords)
+        if cfg.attn_type != "hept":
+            if cfg.pe_type == "learned":
+                pe = PELearned(d, name="pe")(coords)
+            elif cfg.pe_type == "fixed":
+                pe = PESinusoidal(d, name="pe")(coords)
 
         attn = _make_attention(cfg)
 
@@ -264,9 +299,15 @@ class HeptTransformer(nn.Module):
         h = nn.relu(h)
         h = TorchLinear(cfg.h_dim, name="feat_enc_1")(h)
 
+        block_cls = AttnBlock
+        if cfg.use_ckpt:
+            # activation rematerialization (reference transformer.py:138-140's
+            # torch.utils.checkpoint, as jax.checkpoint/nn.remat)
+            block_cls = nn.remat(AttnBlock, static_argnums=())
+
         all_layers = [h]
         for i in range(cfg.n_layers):
-            out = AttnBlock(cfg, name=f"block_{i}")(
+            out = block_cls(cfg, name=f"block_{i}")(
                 h, coords=coords, codes=codes, invalid=invalid, valid=valid,
                 edges=edges, edge_mask=edge_mask, deterministic=deterministic,
             )
