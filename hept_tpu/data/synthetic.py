@@ -92,7 +92,13 @@ def synthetic_tracking_event(
 def _radius_pairs(eta, phi, radius, k, rng):
     """Supervision pairs: up to k neighbours within `radius` per point
     (the role of reference tracking.py:204-209's radius-graph pairs).
-    Vectorized via cKDTree — the 60k-point bench generates these on host."""
+    Uses the native C++ grid-hash builder when available, else cKDTree."""
+    from .. import native
+
+    if native.native_available():
+        return native.radius_pairs(
+            np.asarray(eta, np.float32), np.asarray(phi, np.float32), radius, k
+        ).astype(np.int32)
     n = len(eta)
     pos = np.stack([eta, phi], axis=1).astype(np.float64)
     tree = cKDTree(pos)
