@@ -216,7 +216,9 @@ class GNNStack(nn.Module):
             all_layers.append(h)
 
         cat = jnp.concatenate(all_layers, axis=-1)
-        w_out = cfg.h_dim // 2
+        # tracking: W outputs out_dim directly; pileup: h_dim//2 then out_proj
+        # (reference gnns.py:29-34,66)
+        w_out = cfg.h_dim // 2 if cfg.task == "pileup" else (cfg.out_dim or cfg.h_dim // 2)
         out = TorchLinear(w_out, use_bias=False, name="W")(cat)
         mlp = OutMLP(w_out, name="mlp_out")(out)
         out = out + nn.Dropout(0.1, deterministic=deterministic)(mlp)

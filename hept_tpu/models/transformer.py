@@ -54,7 +54,10 @@ class TransformerConfig:
     nb_features: int = 200  # performer / flt outer features
     nb_features_inner: int = 6  # flt inner RFF features
     bucket_size: int = 100  # reformer / smyrf cluster size
-    knn_k: int = 16  # pct in-jit kNN graph degree (reference datasets: 60)
+    knn_k: int = 16  # pct/gnn in-jit kNN graph degree (reference datasets: 60)
+    out_dim: Optional[int] = None  # GNN head width override (gnns.py:29-34)
+    b_grid: int = 1000  # flatformer discretization bins (reference "B")
+    num_slices_per_axis: int = 30  # flatformer window count per axis
 
 
 class PELearned(nn.Module):
@@ -173,6 +176,8 @@ def _make_attention(cfg: TransformerConfig):
             group_size=cfg.bucket_size,
             num_w_per_dist=cfg.num_w_per_dist,
             pe_type=cfg.pe_type,
+            b_grid=cfg.b_grid,
+            num_slices_per_axis=cfg.num_slices_per_axis,
             **common,
         )
     raise NotImplementedError(cfg.attn_type)

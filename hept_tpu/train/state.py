@@ -30,7 +30,7 @@ class TrainState:
         return cls(
             step=0,
             params=variables["params"],
-            constants=variables["constants"],
+            constants=variables.get("constants", {}),
             opt_state=tx.init(variables["params"]),
             rng=rng,
         )

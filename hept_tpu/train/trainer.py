@@ -69,14 +69,64 @@ def make_loss_fn(cfg: ExperimentConfig):
     raise NotImplementedError(cfg.task)
 
 
-def make_model_apply(model: HeptTransformer):
+def build_model(cfg: ExperimentConfig, in_dim: int, coords_dim: int):
+    """Model factory keyed by reference model_name strings
+    (reference src/utils/get_model.py:6-28): trans_<attn> / gnn_<conv>."""
+    if cfg.model_name.startswith("gnn_"):
+        from ..models.gnns import GNNStack
+        from ..models.transformer import TransformerConfig
+
+        conv = cfg.model_name.split("_", 1)[1]
+        mk = dict(cfg.model_kwargs)
+        tc = TransformerConfig(
+            in_dim=in_dim,
+            coords_dim=coords_dim,
+            task=cfg.task,
+            h_dim=mk.get("hidden_dim", 64),
+            n_layers=mk.get("num_layers", 4),
+            out_dim=mk.get("out_dim"),
+            knn_k=mk.get("graph_k", 16),
+        )
+        return GNNStack(tc, conv_type=conv, k=mk.get("k", 8),
+                        knn_dim=mk.get("knn_dim", 4)), tc
+    mc = cfg.model_config(in_dim, coords_dim)
+    return HeptTransformer(mc), mc
+
+
+def make_model_apply(model, model_cfg=None):
+    is_gnn = model.__class__.__name__ == "GNNStack"
+
+    def gnn_graph(coords, valid):
+        """in-jit kNN graph + RBF edge weights on eta/phi (the datasets'
+        knn_graph(k=60) + compute_edge_weight, utils.py:17-23)."""
+        from ..ops.knn import knn_brute_force
+
+        n = coords.shape[0]
+        k = model_cfg.knn_k if model_cfg is not None else 16
+        d2, idx = knn_brute_force(coords[:, :2], coords[:, :2], k + 1, valid=valid)
+        dst = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
+        src = idx[:, 1:].reshape(-1).astype(jnp.int32)
+        edges = jnp.stack([src, dst])
+        edge_mask = valid[src] & valid[dst]
+        ew = -d2[:, 1:].reshape(-1, 1)
+        return edges, edge_mask, ew
+
     def model_apply(variables, batch, rngs=None):
         def one(x, coords, valid, rng):
-            r = {"dropout": rng} if rng is not None else None
-            return model.apply(
-                variables, x, coords, valid,
-                deterministic=rng is None, rngs=r,
-            )
+            if rng is not None:
+                rd, rr = jax.random.split(rng)
+                r = {"dropout": rd, "rotations": rr}
+            else:
+                r = None
+            det = rng is None
+            if is_gnn:
+                edges, edge_mask, ew = gnn_graph(coords, valid)
+                return model.apply(
+                    variables, x, coords, valid, edges=edges,
+                    edge_mask=edge_mask, edge_weight=ew,
+                    deterministic=det, rngs=r,
+                )
+            return model.apply(variables, x, coords, valid, deterministic=det, rngs=r)
 
         if rngs is not None:
             keys = jax.random.split(rngs["dropout"], batch["x"].shape[0])
@@ -154,21 +204,17 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
         default=0,
     )
 
-    model_cfg = cfg.model_config(dataset.in_dim, dataset.coords_dim)
-    model = HeptTransformer(model_cfg)
+    model, model_cfg = build_model(cfg, dataset.in_dim, dataset.coords_dim)
+    model_apply = make_model_apply(model, model_cfg)
 
-    # init on one event
+    # init on one event (through model_apply so GNN graphs are built too)
     ev0 = dataset.train[0]
     from ..data.batching import pack_events
 
     b0 = pack_events([ev0], block_size, n_max=n_max, e_max=e_max or None)
     rng, init_rng = jax.random.split(rng)
-    variables = model.init(
-        init_rng,
-        jnp.asarray(b0["x"][0]),
-        jnp.asarray(b0["coords"][0]),
-        jnp.asarray(b0["valid"][0]),
-    )
+    jb0 = jax.tree_util.tree_map(jnp.asarray, b0)
+    variables = _init_model(model, model_cfg, init_rng, jb0)
 
     steps_per_epoch = max(1, len(dataset.train) // cfg.batch_size)
     schedule = make_lr_schedule(
@@ -197,7 +243,6 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
         avail = len(jax.devices())
         n_dev = max(d for d in range(1, avail + 1) if cfg.batch_size % d == 0)
     mesh = make_mesh(n_dev)
-    model_apply = make_model_apply(model)
     loss_fn = make_loss_fn(cfg)
     train_step = make_dp_train_step(model_apply, loss_fn, tx, mesh, donate=False)
 
@@ -264,6 +309,25 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
     ckpt.close()
     logger.close()
     return best_test
+
+
+def _init_model(model, model_cfg, rng, batch):
+    x, coords, valid = batch["x"][0], batch["coords"][0], batch["valid"][0]
+    if model.__class__.__name__ == "GNNStack":
+        from ..ops.knn import knn_brute_force
+
+        n = coords.shape[0]
+        k = model_cfg.knn_k
+        d2, idx = knn_brute_force(coords[:, :2], coords[:, :2], k + 1, valid=valid)
+        dst = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
+        src = idx[:, 1:].reshape(-1).astype(jnp.int32)
+        return model.init(
+            rng, x, coords, valid,
+            edges=jnp.stack([src, dst]),
+            edge_mask=valid[src] & valid[dst],
+            edge_weight=-d2[:, 1:].reshape(-1, 1),
+        )
+    return model.init(rng, x, coords, valid)
 
 
 def _ceil(n, m):

@@ -23,11 +23,23 @@ k = jax.random.normal(ks[1], (H, N, D))
 v = jax.random.normal(ks[2], (H, N, DV))
 alpha = jax.random.normal(ks[3], (H, D, C))
 keys_sort = jax.random.normal(ks[5], (C, H, N))
-perm = jnp.argsort(keys_sort, axis=-1)
-perm_inv = invert_permutation(perm)
-sq = sort_to_buckets(q, perm, BS)
-sk = sort_to_buckets(k, perm, BS)
-sv = sort_to_buckets(v, perm, BS)
+
+
+@jax.jit
+def _setup(keys_sort, q, k, v):
+    perm = jnp.argsort(keys_sort, axis=-1)
+    return (
+        perm,
+        invert_permutation(perm),
+        sort_to_buckets(q, perm, BS),
+        sort_to_buckets(k, perm, BS),
+        sort_to_buckets(v, perm, BS),
+    )
+
+
+perm, perm_inv, sq, sk, sv = _setup(keys_sort, q, k, v)
+jax.block_until_ready(sv)
+print("setup done", flush=True)
 
 
 def scan_time(tag, body):

@@ -1,0 +1,69 @@
+"""Trainer-level smoke tests across model families (configs load + 1 epoch)."""
+
+import numpy as np
+import pytest
+
+from hept_tpu.data.datasets import make_synthetic_tracking
+from hept_tpu.train.config import ExperimentConfig
+from hept_tpu.train.trainer import run_one_seed
+
+
+def _cfg(model_name, model_kwargs, tmp_path):
+    return ExperimentConfig(
+        task="tracking",
+        model_name=model_name,
+        model_kwargs=model_kwargs,
+        optimizer_kwargs={"lr": 1e-3},
+        num_epochs=1,
+        batch_size=2,
+        main_metric="accuracy@0.9",
+        mode="max",
+        log_dir=str(tmp_path),
+        attn_impl="xla",
+    )
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return make_synthetic_tracking(n_events=6, n_points=96, seed=0)
+
+
+TRANS_KW = dict(num_heads=2, h_dim=8, n_layers=1, num_w_per_dist=4)
+
+
+@pytest.mark.parametrize(
+    "model_name,extra",
+    [
+        ("trans_performer", {"nb_features": 16, "pe_type": "learned"}),
+        ("trans_smyrf", {"bucket_size": 16, "n_hashes": 2, "pe_type": "learned"}),
+        ("trans_pct", {"pe_type": "none", "knn_k": 4}),
+        ("gnn_gcn", {"hidden_dim": 16, "out_dim": 8, "num_layers": 1}),
+        ("gnn_gravnet", {"hidden_dim": 16, "out_dim": 8, "num_layers": 1, "k": 4, "knn_dim": 3}),
+    ],
+)
+def test_one_epoch(model_name, extra, ds, tmp_path):
+    kwargs = dict(extra)
+    if model_name.startswith("trans_"):
+        kwargs.update(TRANS_KW)
+        kwargs.setdefault("block_size", 16)
+    cfg = _cfg(model_name, kwargs, tmp_path)
+    res = run_one_seed(cfg, dataset=ds)
+    assert np.isfinite(res["loss"]), res
+    assert 0.0 <= res["accuracy@0.9"] <= 1.0
+
+
+def test_all_yaml_configs_load():
+    from pathlib import Path
+
+    from hept_tpu.train.config import load_config
+
+    cfg_dir = Path(__file__).parent.parent / "hept_tpu" / "configs"
+    files = sorted(cfg_dir.rglob("*.yaml"))
+    assert len(files) == 24
+    for f in files:
+        cfg = load_config(f)
+        assert cfg.model_name
+        # model config construction must succeed for transformer variants
+        if cfg.model_name.startswith("trans_"):
+            mc = cfg.model_config(in_dim=15, coords_dim=6)
+            assert mc.h_dim > 0
