@@ -45,6 +45,69 @@ def invert_permutation(perm: Array) -> Array:
     return inv.reshape(perm.shape)
 
 
+def gather_rows(x: Array, perm: Array) -> Array:
+    """Permute rows of per-(hash, head) feature arrays, fast on TPU.
+
+    Args:
+      x: (h, n, d) (shared across OR-hashes) or (c, h, n, d).
+      perm: (c, h, n) row indices into the n axis.
+    Returns: (c, h, n, d).
+
+    Implementation note: XLA's TPU lowering of `take_along_axis` on a
+    broadcast (c, h, n, d) operand runs at a few GB/s; flattening to 2-D and
+    indexing rows with a flat integer array is ~5x faster (same bytes, a
+    gather the compiler recognizes as contiguous row fetches) — see
+    scripts/profile_gather.py.
+    """
+    c, h, n = perm.shape
+    d = x.shape[-1]
+    if x.ndim == 3:
+        flat = x.reshape(h * n, d)
+        offs = (jnp.arange(h, dtype=perm.dtype) * n)[None, :, None]
+    else:
+        flat = x.reshape(c * h * n, d)
+        offs = (jnp.arange(c * h, dtype=perm.dtype) * n).reshape(c, h, 1)
+    fidx = (perm + offs).reshape(-1)
+    return flat[fidx].reshape(c, h, n, d)
+
+
+def sort_carry(keys: Array, payload: Array) -> tuple[Array, Array]:
+    """Sort payload rows by keys via XLA variadic sort (no gather).
+
+    Args:
+      keys: (c, h, n) sort keys.
+      payload: (h, n, d) (broadcast over hashes) or (c, h, n, d).
+    Returns:
+      (sorted_payload (c, h, n, d), source_index (c, h, n)) where
+      source_index[s] is the original row now at sorted slot s.
+
+    The TPU-fast formulation: XLA's variadic sort moves payload columns
+    through the sorting network directly at ~6x the throughput of a
+    take_along_axis gather and ~3x the flat-row gather, and it subsumes the
+    argsort itself (scripts/profile_gather.py: 8.8 ms vs 4.4 + 51 ms at
+    60k x 24 rows x 30 columns).
+    """
+    c, h, n = keys.shape
+    if payload.ndim == 3:
+        payload = jnp.broadcast_to(payload[None], (c,) + payload.shape)
+    d = payload.shape[-1]
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (c, h, n))
+    ops = [keys, iota] + [payload[..., j] for j in range(d)]
+    out = jax.lax.sort(ops, dimension=-1, num_keys=1, is_stable=False)
+    return jnp.stack(out[2:], axis=-1), out[1]
+
+
+def unsort_carry(source_index: Array, payload: Array) -> Array:
+    """Inverse of `sort_carry`: restore original row order by sorting on the
+    carried source indices (unique ints, so unstable sort is exact).
+
+    Args: source_index (c, h, n); payload (c, h, n, d). Returns (c, h, n, d).
+    """
+    ops = [source_index] + [payload[..., j] for j in range(payload.shape[-1])]
+    out = jax.lax.sort(ops, dimension=-1, num_keys=1, is_stable=False)
+    return jnp.stack(out[1:], axis=-1)
+
+
 def sort_to_buckets(x: Array, perm: Array, block_size: int) -> Array:
     """Gather rows of x into sorted fixed-size buckets.
 
@@ -57,13 +120,8 @@ def sort_to_buckets(x: Array, perm: Array, block_size: int) -> Array:
       (c, h, n // B, B, d) bucketed features
       (reference hept.py:9-14 / hash_utils.py:79-89).
     """
-    if x.ndim == 3:
-        x = x[None]
     c, h, n = perm.shape
-    sorted_x = jnp.take_along_axis(
-        jnp.broadcast_to(x, (c, h) + x.shape[-2:]), perm[..., None], axis=-2
-    )
-    return sorted_x.reshape(c, h, n // block_size, block_size, -1)
+    return gather_rows(x, perm).reshape(c, h, n // block_size, block_size, -1)
 
 
 def unsort_from_buckets(s_x: Array, perm_inverse: Array) -> Array:
@@ -74,5 +132,4 @@ def unsort_from_buckets(s_x: Array, perm_inverse: Array) -> Array:
     Returns: (c, h, n, d). (reference hept.py:17-19)
     """
     c, h, nb, bs, d = s_x.shape
-    flat = s_x.reshape(c, h, nb * bs, d)
-    return jnp.take_along_axis(flat, perm_inverse[..., None], axis=-2)
+    return gather_rows(s_x.reshape(c, h, nb * bs, d), perm_inverse)

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...core.buckets import invert_permutation
+from ...core.buckets import gather_rows, invert_permutation
 from ..mlp import TorchLinear
 
 TOKEN_SELF_ATTN_VALUE = -5e4
@@ -65,8 +65,7 @@ class ReformerAttention(nn.Module):
         perm_inv = invert_permutation(perm)
 
         def gather(x, p):  # x (h, n, e), p (c, h, n) -> (c, h, n, e)
-            xb = jnp.broadcast_to(x[None], (c,) + x.shape)
-            return jnp.take_along_axis(xb, p[..., None], axis=-2)
+            return gather_rows(x, p)
 
         qk_norm = qk / jnp.maximum(
             jnp.linalg.norm(qk, axis=-1, keepdims=True), 1e-12
@@ -100,8 +99,7 @@ class ReformerAttention(nn.Module):
         so = jnp.einsum("chbij,chbjd->chbid", dots, sv)
 
         def unsort(x, e):
-            flat = x.reshape(c, h, n, e)
-            return jnp.take_along_axis(flat, perm_inv[..., None], axis=-2)
+            return gather_rows(x.reshape(c, h, n, e), perm_inv)
 
         o = unsort(so, d)  # (c, h, n, d)
         logits = unsort(lse, 1)  # (c, h, n, 1)

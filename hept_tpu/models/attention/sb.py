@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...core.buckets import invert_permutation
+from ...core.buckets import gather_rows, invert_permutation
 from ...ops.rff import gaussian_orthogonal_random_matrix
 from ..mlp import TorchLinear
 from .smyrf import xboxplus
@@ -104,9 +104,8 @@ class SBAttention(nn.Module):
         qkv = jnp.einsum("hme,hnm->hne", context, q_prime)
 
         # ---- sparse in-bucket part ----
-        def gather(x, p):
-            xb = jnp.broadcast_to(x[None], (c,) + x.shape)
-            return jnp.take_along_axis(xb, p[..., None], axis=-2)
+        def gather(x, p):  # flat-row gather (core/buckets.gather_rows)
+            return gather_rows(x, p)
 
         sq = gather(q, q_pos).reshape(c, h, nb, bs, d)
         sk = gather(k, k_pos).reshape(c, h, nb, bs, d)
@@ -144,7 +143,7 @@ class SBAttention(nn.Module):
         so = jnp.einsum("chbij,chbjd->chbid", dots, sv)
 
         def unsort(x, e):
-            return jnp.take_along_axis(x.reshape(c, h, n, e), q_rev[..., None], axis=-2)
+            return gather_rows(x.reshape(c, h, n, e), q_rev)
 
         o = unsort(so, d)
         logits = unsort(lse, 1)

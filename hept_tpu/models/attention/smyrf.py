@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...core.buckets import invert_permutation
+from ...core.buckets import gather_rows, invert_permutation
 from ..mlp import TorchLinear
 
 MASKED_VALUE = -3.0e38
@@ -99,9 +99,8 @@ class SmyrfAttention(nn.Module):
             q = jnp.concatenate([q, ones, q_sq], axis=-1)
             k = jnp.concatenate([k, k_sq, ones], axis=-1)
 
-        def gather(x, p):
-            xb = jnp.broadcast_to(x[None], (c,) + x.shape)
-            return jnp.take_along_axis(xb, p[..., None], axis=-2)
+        def gather(x, p):  # flat-row gather (core/buckets.gather_rows)
+            return gather_rows(x, p)
 
         dq = q.shape[-1]
         sq = gather(q, q_pos).reshape(c, h, nb, bs, dq)
@@ -124,8 +123,8 @@ class SmyrfAttention(nn.Module):
         so = jnp.einsum("chbij,chbjd->chbid", dots, sv)
 
         q_inv = invert_permutation(q_pos)
-        o = jnp.take_along_axis(so.reshape(c, h, n, d), q_inv[..., None], axis=-2)
-        logits = jnp.take_along_axis(lse.reshape(c, h, n, 1), q_inv[..., None], axis=-2)
+        o = gather_rows(so.reshape(c, h, n, d), q_inv)
+        logits = gather_rows(lse.reshape(c, h, n, 1), q_inv)
         probs = jnp.exp(logits - jax.nn.logsumexp(logits, axis=0, keepdims=True))
         out = jnp.sum(o * probs, axis=0)
         out = out.transpose(1, 0, 2).reshape(n, h * d)

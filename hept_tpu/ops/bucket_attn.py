@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from ..core.buckets import invert_permutation, sort_to_buckets, unsort_from_buckets
+from ..core.buckets import sort_carry, unsort_carry
 from ..core.hashing import lsh_mapping
 
 DENOM_EPS = 1e-20
@@ -105,12 +105,18 @@ def hept_attention_core(
         q_key = jnp.where(invalid[None, None, :], big, q_key)
         k_key = jnp.where(invalid[None, None, :], big, k_key)
 
-    q_pos = jnp.argsort(q_key, axis=-1)
-    k_pos = jnp.argsort(k_key, axis=-1)
+    c, h, n = q_key.shape
+    d_hash = k_hat.shape[-1]
+    dv = v.shape[-1]
+    nb = n // block_size
 
-    sq = sort_to_buckets(q_hat, q_pos, block_size)
-    sk = sort_to_buckets(k_hat, k_pos, block_size)
-    sv = sort_to_buckets(v, k_pos, block_size)
+    # Variadic sorts carry the feature columns through the sorting network —
+    # no argsort, no gathers, no inverse permutation (core/buckets.sort_carry).
+    sq_flat, q_src = sort_carry(q_key, q_hat)
+    skv_flat, _ = sort_carry(k_key, jnp.concatenate([k_hat, v], axis=-1))
+    sq = sq_flat.reshape(c, h, nb, block_size, d_hash)
+    sk = skv_flat[..., :d_hash].reshape(c, h, nb, block_size, d_hash)
+    sv = skv_flat[..., d_hash:].reshape(c, h, nb, block_size, dv)
 
     if impl == "pallas" and jax.default_backend() == "tpu":
         from .bucket_attn_pallas import bucket_rbf_attention_pallas
@@ -122,7 +128,9 @@ def hept_attention_core(
         # interpret mode separately).
         denom, so = bucket_rbf_attention_xla(sq, sk, sv)
 
-    q_rev = invert_permutation(q_pos)
-    o = unsort_from_buckets(so, q_rev)  # (c, h, n, dv)
-    logits = unsort_from_buckets(denom, q_rev)  # (c, h, n, 1)
+    # one fused unsort of [numerator | denominator] keyed on carried indices
+    od = unsort_carry(
+        q_src, jnp.concatenate([so, denom], axis=-1).reshape(c, h, n, dv + 1)
+    )
+    o, logits = od[..., :-1], od[..., -1:]
     return o.sum(axis=0) / logits.sum(axis=0)
