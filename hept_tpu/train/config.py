@@ -47,6 +47,7 @@ class ExperimentConfig:
 
     resume: Optional[str] = None
     only_eval: bool = False
+    only_flops: bool = False  # print XLA cost analysis and exit (get_model.py:30)
     log_dir: str = "runs/"
     ckpt_every: int = 0  # extra periodic checkpointing (0 = best-only)
 

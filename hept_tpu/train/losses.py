@@ -101,6 +101,34 @@ def infonce_loss(
     return jnp.sum(cluster_mean) / jnp.maximum(jnp.sum(nonempty), 1)
 
 
+def triplet_margin_loss(
+    embeddings: Array,
+    pairs: Array,
+    pair_mask: Array,
+    cluster_ids: Array,
+    recons: Array,
+    pts: Array,
+    *,
+    margin: float = 0.5,
+    pt_thres: float = 0.9,
+) -> Array:
+    """Triplet variant (reference losses.py:56-63 `calc_triplet`): per-anchor
+    mean negative distance vs positive distance with a margin."""
+    n = embeddings.shape[0]
+    p0, p1 = pairs[0], pairs[1]
+    same = cluster_ids[p0] == cluster_ids[p1]
+    pos_mask = same & pair_filter(cluster_ids, pairs, recons, pts, pt_thres) & pair_mask
+    neg_mask = jnp.logical_not(pos_mask) & pair_mask
+
+    d = jnp.sqrt(jnp.sum((embeddings[p0] - embeddings[p1]) ** 2, -1) + 1e-12)
+    neg_sum = jax.ops.segment_sum(jnp.where(neg_mask, d, 0.0), p0, num_segments=n)
+    neg_cnt = jax.ops.segment_sum(neg_mask.astype(d.dtype), p0, num_segments=n)
+    neg_mean = neg_sum / jnp.maximum(neg_cnt, 1.0)
+    per_pair = jnp.maximum(d - neg_mean[p0] + margin, 0.0)
+    w = pos_mask.astype(d.dtype)
+    return jnp.sum(per_pair * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 def focal_loss(
     probs: Array, targets: Array, mask: Array | None = None,
     alpha: float = 0.25, gamma: float = 2.0,

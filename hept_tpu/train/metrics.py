@@ -106,6 +106,14 @@ def acc_and_pr_at_k(
     return mean(acc), mean(prec), mean(recall)
 
 
+def node_classification_accuracy(pred, target, mask):
+    """Masked accuracy (reference metrics.py:96-100)."""
+    import jax.numpy as _jnp
+
+    correct = _jnp.where(mask, pred == target, False)
+    return float(_jnp.sum(correct) / _jnp.maximum(_jnp.sum(mask), 1))
+
+
 def binary_classification_metrics(probs: np.ndarray, targets: np.ndarray):
     """AP ('auc' in the reference configs), ROC-AUC, F1@0.5 on host."""
     from sklearn.metrics import (

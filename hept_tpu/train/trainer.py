@@ -33,12 +33,21 @@ from ..utils.logging import ScalarLogger, log
 
 
 def make_loss_fn(cfg: ExperimentConfig):
+    """Loss factory keyed by loss_name (reference src/utils/utils.py:40-48)."""
     if cfg.task == "tracking":
         tau = cfg.loss_kwargs.get("tau", 0.05)
         dist = cfg.loss_kwargs.get("dist_metric", "l2_rbf")
+        use_triplet = cfg.loss_name == "triplet"
 
         def loss_fn(outputs, batch):
             def per_event(out, pairs, pmask, cid, recons, pts):
+                if use_triplet:
+                    from ..train.losses import triplet_margin_loss
+
+                    return triplet_margin_loss(
+                        out, pairs, pmask, cid, recons, pts,
+                        margin=cfg.loss_kwargs.get("margin", 0.5),
+                    )
                 return infonce_loss(
                     out, pairs, pmask, cid, recons, pts, tau=tau, dist_metric=dist
                 )
@@ -233,6 +242,21 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
             patience=cfg.lr_scheduler_kwargs.get("patience", 20),
             mode=cfg.lr_scheduler_kwargs.get("mode", "min"),
         )
+
+    from ..utils.flops import param_count
+
+    n_params = param_count(variables["params"])
+    log(f"model {cfg.model_name}: {n_params:,} params")
+    if cfg.only_flops:
+        from ..utils.flops import cost_analysis
+
+        ca = cost_analysis(
+            lambda v: model_apply(v, jax.tree_util.tree_map(jnp.asarray, b0)),
+            variables,
+        )
+        log(f"XLA cost analysis: flops={ca.get('flops')}, "
+            f"bytes accessed={ca.get('bytes accessed')}")
+        return {"params": n_params, **{k: v for k, v in ca.items() if v is not None}}
 
     rng, state_rng = jax.random.split(rng)
     state = TrainState.create(variables, tx, state_rng)
