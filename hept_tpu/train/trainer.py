@@ -289,14 +289,16 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
         logger.close()
         return test
 
+    from ..data.prefetch import prefetch
+
     for epoch in range(cfg.num_epochs):
         t0 = time.time()
         epoch_losses = []
-        for batch in dataset.iter_batches(
+        batches = dataset.iter_batches(
             "train", cfg.batch_size, block_size, n_max=n_max, e_max=e_max or None,
             shuffle_rng=data_rng,
-        ):
-            sb = shard_batch(batch, mesh)
+        )
+        for sb in prefetch(batches, transfer=lambda b: shard_batch(b, mesh)):
             state, metrics = train_step(state, sb)
             epoch_losses.append(float(metrics["loss"]))
 
