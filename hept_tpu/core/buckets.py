@@ -71,6 +71,13 @@ def gather_rows(x: Array, perm: Array) -> Array:
     return flat[fidx].reshape(c, h, n, d)
 
 
+def _float0_zero(x):
+    import numpy as np
+
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+@jax.custom_vjp
 def sort_carry(keys: Array, payload: Array) -> tuple[Array, Array]:
     """Sort payload rows by keys via XLA variadic sort (no gather).
 
@@ -85,8 +92,14 @@ def sort_carry(keys: Array, payload: Array) -> tuple[Array, Array]:
     through the sorting network directly at ~6x the throughput of a
     take_along_axis gather and ~3x the flat-row gather, and it subsumes the
     argsort itself (scripts/profile_gather.py: 8.8 ms vs 4.4 + 51 ms at
-    60k x 24 rows x 30 columns).
+    60k x 24 rows x 30 columns). A custom VJP applies the inverse
+    permutation with a flat-row gather instead of differentiating through
+    the sorting network.
     """
+    return _sort_carry_impl(keys, payload)
+
+
+def _sort_carry_impl(keys, payload):
     c, h, n = keys.shape
     if payload.ndim == 3:
         payload = jnp.broadcast_to(payload[None], (c,) + payload.shape)
@@ -97,15 +110,52 @@ def sort_carry(keys: Array, payload: Array) -> tuple[Array, Array]:
     return jnp.stack(out[2:], axis=-1), out[1]
 
 
+def _sort_carry_fwd(keys, payload):
+    out = _sort_carry_impl(keys, payload)
+    return out, (out[1], keys, payload.ndim == 3)
+
+
+def _sort_carry_bwd(res, cotangents):
+    src, keys, was_3d = res
+    g_sorted, _ = cotangents  # integer source_index output carries no grad
+    # sorted[s] = payload[src[s]]  =>  d payload[r] = g_sorted[inv[r]]
+    inv = invert_permutation(src)
+    gp = gather_rows(g_sorted, inv)  # (c, h, n, d)
+    if was_3d:
+        gp = gp.sum(axis=0)  # broadcast over hashes sums in reverse
+    return _float0_zero(keys) if jnp.issubdtype(keys.dtype, jnp.integer) else jnp.zeros_like(keys), gp
+
+
+sort_carry.defvjp(_sort_carry_fwd, _sort_carry_bwd)
+
+
+@jax.custom_vjp
 def unsort_carry(source_index: Array, payload: Array) -> Array:
     """Inverse of `sort_carry`: restore original row order by sorting on the
     carried source indices (unique ints, so unstable sort is exact).
 
     Args: source_index (c, h, n); payload (c, h, n, d). Returns (c, h, n, d).
     """
+    return _unsort_carry_impl(source_index, payload)
+
+
+def _unsort_carry_impl(source_index, payload):
     ops = [source_index] + [payload[..., j] for j in range(payload.shape[-1])]
     out = jax.lax.sort(ops, dimension=-1, num_keys=1, is_stable=False)
     return jnp.stack(out[1:], axis=-1)
+
+
+def _unsort_carry_fwd(source_index, payload):
+    return _unsort_carry_impl(source_index, payload), source_index
+
+
+def _unsort_carry_bwd(source_index, g):
+    # out[src[s]] = payload[s]  =>  d payload[s] = g[src[s]]
+    gp = gather_rows(g, source_index)
+    return _float0_zero(source_index), gp
+
+
+unsort_carry.defvjp(_unsort_carry_fwd, _unsort_carry_bwd)
 
 
 def sort_to_buckets(x: Array, perm: Array, block_size: int) -> Array:
