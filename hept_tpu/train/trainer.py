@@ -150,9 +150,13 @@ def make_model_apply(model, model_cfg=None):
 
 
 def evaluate(cfg, model_apply, variables, dataset: SplitDataset, split: str,
-             block_size: int, n_max: int, e_max: int):
-    """Task metrics over a split (host-side aggregation, eval only)."""
-    eval_apply = jax.jit(lambda v, b: model_apply(v, b))
+             block_size: int, n_max: int, e_max: int, eval_apply=None):
+    """Task metrics over a split (host-side aggregation, eval only).
+
+    Pass a pre-jitted `eval_apply` to avoid re-tracing every epoch.
+    """
+    if eval_apply is None:
+        eval_apply = jax.jit(lambda v, b: model_apply(v, b))
     if cfg.task == "tracking":
         accs, precs, recs = {0.0: [], 0.5: [], 0.9: []}, {0.0: [], 0.5: [], 0.9: []}, {0.0: [], 0.5: [], 0.9: []}
         losses = []
@@ -278,6 +282,7 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
         state = ckpt.restore(state)
         log(f"resumed from step {int(state.step)}")
 
+    eval_apply = jax.jit(lambda v, b: model_apply(v, b))
     best = -np.inf if cfg.mode == "max" else np.inf
     best_test: dict = {}
     sign = 1.0 if cfg.mode == "max" else -1.0
@@ -285,7 +290,7 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
 
     if cfg.only_eval:
         test = evaluate(cfg, model_apply, state.variables, dataset, "test",
-                        block_size, n_max, e_max)
+                        block_size, n_max, e_max, eval_apply=eval_apply)
         logger.close()
         return test
 
@@ -304,7 +309,7 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
 
         train_loss = float(np.mean(epoch_losses))
         valid = evaluate(cfg, model_apply, state.variables, dataset, "valid",
-                        block_size, n_max, e_max)
+                        block_size, n_max, e_max, eval_apply=eval_apply)
         logger.write(epoch, {"loss": train_loss, "epoch_sec": time.time() - t0},
                      prefix="train/")
         logger.write(epoch, valid, prefix="valid/")
@@ -323,7 +328,7 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
         if sign * score > sign * best:
             best = score
             test = evaluate(cfg, model_apply, state.variables, dataset, "test",
-                            block_size, n_max, e_max)
+                            block_size, n_max, e_max, eval_apply=eval_apply)
             best_test = test
             logger.write(epoch, test, prefix="test/")
             ckpt.save(int(state.step), state, metrics={cfg.main_metric: float(score)})
