@@ -79,7 +79,13 @@ def main():
     recons = jnp.asarray(batch["recons"][0])
     pts = jnp.asarray(batch["pts"][0])
 
-    variables = model.init(jax.random.PRNGKey(0), x, coords, valid)
+    def _stamp(msg):
+        print(f"# [{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+    _stamp("data ready; initializing model (jitted init)")
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, coords, valid)
+    jax.block_until_ready(variables)
+    _stamp("init done; building optimizer")
     tx = make_optimizer("adam", lr=1e-2)
     state = TrainState.create(variables, tx, jax.random.PRNGKey(1))
 
@@ -97,8 +103,10 @@ def main():
         return state.replace(step=state.step + 1, params=params, opt_state=opt_state), loss
 
     # compile + warmup
+    _stamp("compiling train step")
     state, loss = train_step(state)
     jax.block_until_ready(loss)
+    _stamp("train step compiled")
     for _ in range(WARMUP - 1):
         state, loss = train_step(state)
     jax.block_until_ready(loss)
