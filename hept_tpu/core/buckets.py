@@ -118,9 +118,11 @@ def _sort_carry_fwd(keys, payload):
 def _sort_carry_bwd(res, cotangents):
     src, keys, was_3d = res
     g_sorted, _ = cotangents  # integer source_index output carries no grad
-    # sorted[s] = payload[src[s]]  =>  d payload[r] = g_sorted[inv[r]]
-    inv = invert_permutation(src)
-    gp = gather_rows(g_sorted, inv)  # (c, h, n, d)
+    # sorted[s] = payload[src[s]]  =>  d payload[r] = g_sorted[inv[r]], which
+    # is exactly the unsort: re-sort g_sorted on the carried source indices.
+    # Sort-based (no scatter-invert, no gather) — variadic sort moves rows
+    # ~3-6x faster than take_along_axis on TPU (scripts/profile_gather.py).
+    gp = _unsort_carry_impl(src, g_sorted)  # (c, h, n, d)
     if was_3d:
         gp = gp.sum(axis=0)  # broadcast over hashes sums in reverse
     return _float0_zero(keys) if jnp.issubdtype(keys.dtype, jnp.integer) else jnp.zeros_like(keys), gp
@@ -146,12 +148,22 @@ def _unsort_carry_impl(source_index, payload):
 
 
 def _unsort_carry_fwd(source_index, payload):
-    return _unsort_carry_impl(source_index, payload), source_index
+    # Carry an iota column through the unsort: sorted by src (a permutation),
+    # slot i receives iota j with src[j] = i, i.e. inv[i] — the inverse
+    # permutation for free inside the sort that runs anyway.
+    c, h, n = source_index.shape
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (c, h, n))
+    ops = [source_index, iota] + [payload[..., j] for j in range(payload.shape[-1])]
+    out = jax.lax.sort(ops, dimension=-1, num_keys=1, is_stable=False)
+    return jnp.stack(out[2:], axis=-1), (source_index, out[1])
 
 
-def _unsort_carry_bwd(source_index, g):
-    # out[src[s]] = payload[s]  =>  d payload[s] = g[src[s]]
-    gp = gather_rows(g, source_index)
+def _unsort_carry_bwd(res, g):
+    source_index, inv = res
+    # out[src[s]] = payload[s]  =>  d payload[s] = g[src[s]]; sorting g on inv
+    # places g[j] with inv[j] = s at slot s, i.e. j = src[s] — sort-based
+    # forward-permutation apply, no gather.
+    gp = _unsort_carry_impl(inv, g)
     return _float0_zero(source_index), gp
 
 

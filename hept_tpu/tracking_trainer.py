@@ -22,6 +22,7 @@ def main():
     ap.add_argument("-c", "--config", default=None)
     ap.add_argument("--dataset", default=None)
     ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--device", default=None, help="cpu | tpu (default backend)")
     args = ap.parse_args()
 
     path = args.config or CONFIG_DIR / f"tracking_trans_{args.model}.yaml"
@@ -30,6 +31,8 @@ def main():
         overrides["dataset_name"] = args.dataset
     if args.epochs:
         overrides["num_epochs"] = args.epochs
+    if args.device:
+        overrides["device"] = args.device
     cfg = load_config(path, task="tracking", **overrides)
     results = run_one_seed(cfg)
     log("final test metrics:", results)

@@ -51,6 +51,11 @@ class ExperimentConfig:
     log_dir: str = "runs/"
     ckpt_every: int = 0  # extra periodic checkpointing (0 = best-only)
 
+    # Device selection (reference `device: cuda:0` key, tracking_trainer.py:113).
+    # "cpu" | "tpu" | None (= default backend). Applied via apply_device()
+    # before any computation; torch-style "cuda:N" strings map to the default.
+    device: Optional[str] = None
+
     # TPU-specific knobs (no reference counterpart)
     attn_impl: str = "pallas"
     padding_mode: str = "replicate"
@@ -73,7 +78,8 @@ class ExperimentConfig:
 def load_config(path: str | Path, **overrides) -> ExperimentConfig:
     """Load a YAML config (reference key surface) into ExperimentConfig."""
     raw = yaml.safe_load(Path(path).read_text()) or {}
-    raw.pop("device", None)  # torch device strings have no meaning here
+    if str(raw.get("device", "")).startswith("cuda"):
+        raw.pop("device")  # torch device strings mean "the accelerator" here
     raw.pop("log_tensorboard", None)
     raw.pop("num_threads", None)
     raw.update(overrides)
@@ -81,4 +87,20 @@ def load_config(path: str | Path, **overrides) -> ExperimentConfig:
     unknown = set(raw) - known
     if unknown:
         raise ValueError(f"unknown config keys: {sorted(unknown)}")
-    return ExperimentConfig(**raw)
+    cfg = ExperimentConfig(**raw)
+    apply_device(cfg.device)
+    return cfg
+
+
+def apply_device(device: Optional[str]) -> None:
+    """Force the JAX platform before any computation runs.
+
+    The env-var route (JAX_PLATFORMS) can be overridden by site-level backend
+    registration, so set the config knob explicitly (same mechanism as
+    tests/conftest.py).
+    """
+    if device in (None, "", "tpu"):
+        return
+    import jax
+
+    jax.config.update("jax_platforms", device)
