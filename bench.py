@@ -68,34 +68,40 @@ def main():
         num_w_per_dist=10,
         padding_mode="replicate",
         attn_impl="pallas" if on_tpu else "xla",
+        scan_layers=True,
     )
     model = HeptTransformer(cfg)
-    x = jnp.asarray(batch["x"][0])
-    coords = jnp.asarray(batch["coords"][0])
-    valid = jnp.asarray(batch["valid"][0])
-    pairs = jnp.asarray(batch["pairs"][0])
-    pair_mask = jnp.asarray(batch["pair_mask"][0])
-    cid = jnp.asarray(batch["cluster_ids"][0])
-    recons = jnp.asarray(batch["recons"][0])
-    pts = jnp.asarray(batch["pts"][0])
+    # IMPORTANT: the batch is passed to the jitted step as ARGUMENTS, never
+    # captured in the closure — closure-captured device arrays are embedded
+    # into the lowered module as constants, which costs minutes on a remote
+    # backend (measured: lower() 496s closure vs 1.5s as args at 60k points).
+    keys = ("x", "coords", "valid", "pairs", "pair_mask", "cluster_ids",
+            "recons", "pts")
+    bt = {k: jnp.asarray(batch[k][0]) for k in keys}
 
     def _stamp(msg):
         print(f"# [{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
     _stamp("data ready; initializing model (jitted init)")
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, coords, valid)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), bt["x"], bt["coords"], bt["valid"]
+    )
     jax.block_until_ready(variables)
     _stamp("init done; building optimizer")
     tx = make_optimizer("adam", lr=1e-2)
     state = TrainState.create(variables, tx, jax.random.PRNGKey(1))
 
     @jax.jit
-    def train_step(state):
+    def train_step(state, bt):
         def loss_of(params):
             out = model.apply(
-                {"params": params, "constants": state.constants}, x, coords, valid
+                {"params": params, "constants": state.constants},
+                bt["x"], bt["coords"], bt["valid"],
             )
-            return infonce_loss(out, pairs, pair_mask, cid, recons, pts)
+            return infonce_loss(
+                out, bt["pairs"], bt["pair_mask"], bt["cluster_ids"],
+                bt["recons"], bt["pts"],
+            )
 
         loss, grads = jax.value_and_grad(loss_of)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -104,30 +110,30 @@ def main():
 
     # compile + warmup
     _stamp("compiling train step")
-    state, loss = train_step(state)
+    state, loss = train_step(state, bt)
     jax.block_until_ready(loss)
     _stamp("train step compiled")
     for _ in range(WARMUP - 1):
-        state, loss = train_step(state)
+        state, loss = train_step(state, bt)
     jax.block_until_ready(loss)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        state, loss = train_step(state)
+        state, loss = train_step(state, bt)
     jax.block_until_ready(loss)
     dt = (time.perf_counter() - t0) / ITERS
 
     # forward-only latency (reference example.ipynb cells 9-10 equivalent)
     fwd = jax.jit(
-        lambda p: model.apply(
-            {"params": p, "constants": variables["constants"]}, x, coords, valid
+        lambda p, c, bt: model.apply(
+            {"params": p, "constants": c}, bt["x"], bt["coords"], bt["valid"]
         )
     )
-    out = fwd(state.params)
+    out = fwd(state.params, state.constants, bt)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = fwd(state.params)
+        out = fwd(state.params, state.constants, bt)
     jax.block_until_ready(out)
     fwd_ms = (time.perf_counter() - t0) / ITERS * 1e3
 

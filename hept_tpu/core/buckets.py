@@ -4,11 +4,13 @@ Rebuilds the reference's sort-to-buckets pipeline
 (`/root/reference/src/models/attention/hept.py:9-19`,
 `/root/reference/src/models/model_utils/hash_utils.py:42-89`,
 `/root/reference/example/transformer.py:10-13`) with XLA-friendly primitives:
-one argsort over combined float keys, `take_along_axis` gathers, and an O(n)
-scatter for the inverse permutation.
+batch-folded two-operand sorts that stream payload columns through the sort
+(`_folded_sort`; constant compile cost, no gathers) plus flat-row gather and
+scatter-invert fallbacks used by tests and non-hot paths.
 """
 
 from __future__ import annotations
+
 
 import jax
 import jax.numpy as jnp
@@ -77,97 +79,288 @@ def _float0_zero(x):
     return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
-@jax.custom_vjp
-def sort_carry(keys: Array, payload: Array) -> tuple[Array, Array]:
-    """Sort payload rows by keys via XLA variadic sort (no gather).
+def _payload_to_u32_rows(payload: Array, pack: bool) -> tuple[Array, int]:
+    """(c, h, n, d) float payload -> (c, h, D, n) u32 'column rows' for the
+    batch-folded sort. pack=True packs adjacent column pairs as bf16 into one
+    u32 (half the bytes, ~0.4% relative rounding); pack=False bitcasts f32
+    exactly (D == d)."""
+    c, h, n, d = payload.shape
+    if pack:
+        if d % 2:
+            payload = jnp.pad(payload, [(0, 0)] * 3 + [(0, 1)])
+        pairs = payload.astype(jnp.bfloat16).reshape(c, h, n, -1, 2)
+        u32 = jax.lax.bitcast_convert_type(pairs, jnp.uint32)  # (c,h,n,D)
+    else:
+        u32 = jax.lax.bitcast_convert_type(
+            payload.astype(jnp.float32), jnp.uint32
+        )
+    return jnp.swapaxes(u32, -1, -2), d
+
+
+def _u32_rows_to_payload(rows: Array, d: int, pack: bool) -> Array:
+    """Inverse of `_payload_to_u32_rows` ((c, h, D, n) -> (c, h, n, d))."""
+    u32 = jnp.swapaxes(rows, -1, -2)  # (c,h,n,D)
+    if pack:
+        pairs = jax.lax.bitcast_convert_type(u32, jnp.bfloat16)  # (c,h,n,D,2)
+        out = pairs.reshape(*u32.shape[:-1], -1).astype(jnp.float32)
+        return out[..., :d]
+    return jax.lax.bitcast_convert_type(u32, jnp.float32)
+
+
+def _folded_sort(keys: Array, payload: Array, pack: bool, with_iota: bool):
+    """Sort payload rows by keys as ONE two-operand XLA sort.
+
+    Each payload column is bitcast to a u32 row stacked on a new batch axis,
+    and the keys are broadcast across that axis, so XLA sees a 2-operand sort
+    over (c, h, D[+1], n) — batch dims sort independently but identical keys
+    produce identical permutations per column. XLA sort *compile* time on
+    TPU scales with operand count (~20 s at 2 operands vs >10 min at 87 at
+    60k points), while runtime scales with bytes; this formulation gets the
+    streaming-sort runtime (no gathers) at constant compile cost, ~2x the
+    bytes of the ideal variadic sort for the duplicated keys
+    (scripts/profile_gather.py, /tmp canaries 2026-08).
+
+    Tie safety: key ties can order payload columns differently per batch row,
+    but ties only occur for padding rows (identical +BIG keys) and
+    replication pads (exact duplicates of a real row) — in both cases the
+    tied rows carry identical payloads, so any per-column resolution yields
+    the same result.
+    """
+    c, h, n = keys.shape
+    rows, d = _payload_to_u32_rows(payload, pack)
+    if with_iota:
+        iota = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.uint32), (c, h, 1, n)
+        )
+        rows = jnp.concatenate([rows, iota], axis=2)
+    kb = jnp.broadcast_to(keys[:, :, None, :], rows.shape)
+    _, sorted_rows = jax.lax.sort(
+        [kb, rows], dimension=-1, num_keys=1, is_stable=False
+    )
+    src = None
+    if with_iota:
+        src = sorted_rows[:, :, -1, :].astype(jnp.int32)
+        sorted_rows = sorted_rows[:, :, :-1, :]
+    return _u32_rows_to_payload(sorted_rows, d, pack), src
+
+
+def _cols_to_u32(cols: Array, pack: bool) -> tuple[Array, int]:
+    """(c, h, d, n) float column payload -> (c, h, D, n) u32 rows (no
+    transpose; column layout is the native sort layout). pack packs adjacent
+    column PAIRS (d axis) as bf16 into u32."""
+    c, h, d, n = cols.shape
+    if pack:
+        if d % 2:
+            cols = jnp.pad(cols, [(0, 0), (0, 0), (0, 1), (0, 0)])
+        bf = cols.astype(jnp.bfloat16).reshape(c, h, -1, 2, n)
+        # pair the two bf16 rows along a trailing unit axis for the bitcast
+        bf = jnp.swapaxes(bf, -2, -1)  # (c,h,D,n,2)
+        u32 = jax.lax.bitcast_convert_type(bf, jnp.uint32)  # (c,h,D,n)
+    else:
+        u32 = jax.lax.bitcast_convert_type(cols.astype(jnp.float32), jnp.uint32)
+    return u32, d
+
+
+def _u32_to_cols(rows: Array, d: int, pack: bool) -> Array:
+    """Inverse of `_cols_to_u32`."""
+    if pack:
+        bf = jax.lax.bitcast_convert_type(rows, jnp.bfloat16)  # (c,h,D,n,2)
+        bf = jnp.swapaxes(bf, -2, -1)  # (c,h,D,2,n)
+        out = bf.reshape(*rows.shape[:2], -1, rows.shape[-1]).astype(jnp.float32)
+        return out[:, :, :d]
+    return jax.lax.bitcast_convert_type(rows, jnp.float32)
+
+
+def _grouped_sort_impl(keys_list, payload_list, pack):
+    """ONE lax.sort call moving several column-payload groups, each ordered by
+    its own keys. See `grouped_sort_carry`."""
+    c, h, n = keys_list[0].shape
+    rows, key_rows, dims = [], [], []
+    for keys, cols in zip(keys_list, payload_list):
+        if cols.ndim == 3:
+            cols = jnp.broadcast_to(cols[None], (c,) + cols.shape)
+        u32, d = _cols_to_u32(cols, pack)
+        iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.uint32), (c, h, 1, n))
+        rows += [u32, iota]
+        key_rows.append(
+            jnp.broadcast_to(keys[:, :, None, :], (c, h, u32.shape[2] + 1, n)).astype(
+                keys_list[0].dtype
+            )
+        )
+        dims.append(d)
+    all_rows = jnp.concatenate(rows, axis=2)
+    all_keys = jnp.concatenate(key_rows, axis=2)
+    _, sorted_rows = jax.lax.sort(
+        [all_keys, all_rows], dimension=-1, num_keys=1, is_stable=False
+    )
+    outs, srcs, off = [], [], 0
+    for (keys, cols), d in zip(zip(keys_list, payload_list), dims):
+        D = d + (d % 2) if pack else d
+        D = D // 2 if pack else D
+        grp = sorted_rows[:, :, off : off + D]
+        srcs.append(sorted_rows[:, :, off + D].astype(jnp.int32))
+        outs.append(_u32_to_cols(grp, d, pack))
+        off += D + 1
+    return outs, srcs
+
+
+def _make_grouped_sort_carry(pack: bool, n_groups: int):
+    @jax.custom_vjp
+    def f(keys_tuple, payload_tuple):
+        outs, srcs = _grouped_sort_impl(list(keys_tuple), list(payload_tuple), pack)
+        return tuple(outs), tuple(srcs)
+
+    def fwd(keys_tuple, payload_tuple):
+        outs, srcs = _grouped_sort_impl(list(keys_tuple), list(payload_tuple), pack)
+        was_3d = tuple(p.ndim == 3 for p in payload_tuple)
+        return (tuple(outs), tuple(srcs)), (tuple(srcs), keys_tuple, was_3d)
+
+    def bwd(res, cotangents):
+        srcs, keys_tuple, was_3d = res
+        g_outs, _ = cotangents
+        # sorted[s] = payload[src[s]] => d payload = unsort(g) = re-sort g on
+        # src. All groups ride the SAME backward sort call.
+        gps, _ = _grouped_sort_impl(list(srcs), list(g_outs), pack)
+        gps = [g.sum(axis=0) if b3 else g for g, b3 in zip(gps, was_3d)]
+        gks = tuple(
+            _float0_zero(k)
+            if jnp.issubdtype(k.dtype, jnp.integer)
+            else jnp.zeros_like(k)
+            for k in keys_tuple
+        )
+        return gks, tuple(gps)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+_grouped_sort_carry_cache: dict = {}
+
+
+def grouped_sort_carry(keys_list, payload_list, pack: bool = False):
+    """Sort several column-payload groups, each by its own keys, in ONE XLA
+    sort call (each lax.sort costs ~75-85 ms on TPU regardless of size or
+    payload width — the per-call latency, not bytes, is the budget).
 
     Args:
-      keys: (c, h, n) sort keys.
-      payload: (h, n, d) (broadcast over hashes) or (c, h, n, d).
+      keys_list: list of (c, h, n) sort keys (float or int; unsort = pass the
+        src indices back as keys).
+      payload_list: matching list of (c, h, d_i, n) column payloads
+        ((h, d_i, n) broadcasts over hashes).
+      pack: move payloads as bf16 pairs (half the traffic, bf16 rounding).
     Returns:
-      (sorted_payload (c, h, n, d), source_index (c, h, n)) where
-      source_index[s] is the original row now at sorted slot s.
+      (sorted_payloads, srcs): column payloads reordered per group and the
+      (c, h, n) source index of each group (original row now at slot s) —
+      for an unsort call the returned src is the forward permutation.
 
-    The TPU-fast formulation: XLA's variadic sort moves payload columns
-    through the sorting network directly at ~6x the throughput of a
-    take_along_axis gather and ~3x the flat-row gather, and it subsumes the
-    argsort itself (scripts/profile_gather.py: 8.8 ms vs 4.4 + 51 ms at
-    60k x 24 rows x 30 columns). A custom VJP applies the inverse
-    permutation with a flat-row gather instead of differentiating through
-    the sorting network.
+    The custom VJP re-applies the inverse permutations with one backward
+    sort call (no scatter-invert, no gathers).
     """
-    return _sort_carry_impl(keys, payload)
+    key = (bool(pack), len(keys_list))
+    fn = _grouped_sort_carry_cache.get(key)
+    if fn is None:
+        fn = _make_grouped_sort_carry(*key)
+        _grouped_sort_carry_cache[key] = fn
+    outs, srcs = fn(tuple(keys_list), tuple(payload_list))
+    return list(outs), list(srcs)
 
 
-def _sort_carry_impl(keys, payload):
+def _sort_carry_impl(keys, payload, pack):
     c, h, n = keys.shape
     if payload.ndim == 3:
         payload = jnp.broadcast_to(payload[None], (c,) + payload.shape)
-    d = payload.shape[-1]
-    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (c, h, n))
-    ops = [keys, iota] + [payload[..., j] for j in range(d)]
-    out = jax.lax.sort(ops, dimension=-1, num_keys=1, is_stable=False)
-    return jnp.stack(out[2:], axis=-1), out[1]
+    return _folded_sort(keys, payload, pack, with_iota=True)
 
 
-def _sort_carry_fwd(keys, payload):
-    out = _sort_carry_impl(keys, payload)
-    return out, (out[1], keys, payload.ndim == 3)
+def _unsort_carry_impl(source_index, payload, pack):
+    out, _ = _folded_sort(source_index, payload, pack, with_iota=False)
+    return out
 
 
-def _sort_carry_bwd(res, cotangents):
-    src, keys, was_3d = res
-    g_sorted, _ = cotangents  # integer source_index output carries no grad
-    # sorted[s] = payload[src[s]]  =>  d payload[r] = g_sorted[inv[r]], which
-    # is exactly the unsort: re-sort g_sorted on the carried source indices.
-    # Sort-based (no scatter-invert, no gather) — variadic sort moves rows
-    # ~3-6x faster than take_along_axis on TPU (scripts/profile_gather.py).
-    gp = _unsort_carry_impl(src, g_sorted)  # (c, h, n, d)
-    if was_3d:
-        gp = gp.sum(axis=0)  # broadcast over hashes sums in reverse
-    return _float0_zero(keys) if jnp.issubdtype(keys.dtype, jnp.integer) else jnp.zeros_like(keys), gp
+def _make_sort_carry(pack: bool):
+    @jax.custom_vjp
+    def f(keys, payload):
+        return _sort_carry_impl(keys, payload, pack)
+
+    def fwd(keys, payload):
+        out = _sort_carry_impl(keys, payload, pack)
+        return out, (out[1], keys, payload.ndim == 3)
+
+    def bwd(res, cotangents):
+        src, keys, was_3d = res
+        g_sorted, _ = cotangents  # integer source_index output has no grad
+        # sorted[s] = payload[src[s]]  =>  d payload[r] = g_sorted[inv[r]],
+        # which is exactly the unsort: re-sort g_sorted on the carried
+        # source indices (no scatter-invert, no gather).
+        gp = _unsort_carry_impl(src, g_sorted, pack)  # (c, h, n, d)
+        if was_3d:
+            gp = gp.sum(axis=0)  # broadcast over hashes sums in reverse
+        gk = (
+            _float0_zero(keys)
+            if jnp.issubdtype(keys.dtype, jnp.integer)
+            else jnp.zeros_like(keys)
+        )
+        return gk, gp
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
-sort_carry.defvjp(_sort_carry_fwd, _sort_carry_bwd)
+def _make_unsort_carry(pack: bool):
+    @jax.custom_vjp
+    def f(source_index, payload):
+        return _unsort_carry_impl(source_index, payload, pack)
+
+    def fwd(source_index, payload):
+        # Carry an iota row through the unsort: sorted by src (a
+        # permutation), slot i receives iota j with src[j] = i, i.e. inv[i]
+        # — the inverse permutation for free inside the sort anyway.
+        out, inv = _folded_sort(source_index, payload, pack, with_iota=True)
+        return out, (source_index, inv)
+
+    def bwd(res, g):
+        source_index, inv = res
+        # out[src[s]] = payload[s]  =>  d payload[s] = g[src[s]]; sorting g
+        # on inv places g[j] with inv[j] = s at slot s, i.e. j = src[s] —
+        # sort-based forward-permutation apply, no gather.
+        gp = _unsort_carry_impl(inv, g, pack)
+        return _float0_zero(source_index), gp
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
-@jax.custom_vjp
-def unsort_carry(source_index: Array, payload: Array) -> Array:
+_sort_carry = {False: _make_sort_carry(False), True: _make_sort_carry(True)}
+_unsort_carry = {False: _make_unsort_carry(False), True: _make_unsort_carry(True)}
+
+
+def sort_carry(keys: Array, payload: Array, pack: bool = False):
+    """Sort payload rows by keys; no argsort, no gather, no inverse perm.
+
+    Args:
+      keys: (c, h, n) sort keys (float or int).
+      payload: (h, n, d) (broadcast over hashes) or (c, h, n, d).
+      pack: move payload as bf16 pairs (half the sort traffic, bf16 rounding).
+    Returns:
+      (sorted_payload (c, h, n, d) f32, source_index (c, h, n) i32) where
+      source_index[s] is the original row now at sorted slot s.
+
+    Replaces the reference's argsort + batched_index_select pipeline
+    (src/models/attention/hept.py:103-108, hash_utils.py:79-89) with the
+    batch-folded two-operand sort (`_folded_sort`) — the TPU-fast AND
+    TPU-compile-fast formulation. A custom VJP re-applies the permutation
+    with the same sort machinery instead of differentiating the sort.
+    """
+    return _sort_carry[bool(pack)](keys, payload)
+
+
+def unsort_carry(source_index: Array, payload: Array, pack: bool = False):
     """Inverse of `sort_carry`: restore original row order by sorting on the
     carried source indices (unique ints, so unstable sort is exact).
 
     Args: source_index (c, h, n); payload (c, h, n, d). Returns (c, h, n, d).
     """
-    return _unsort_carry_impl(source_index, payload)
-
-
-def _unsort_carry_impl(source_index, payload):
-    ops = [source_index] + [payload[..., j] for j in range(payload.shape[-1])]
-    out = jax.lax.sort(ops, dimension=-1, num_keys=1, is_stable=False)
-    return jnp.stack(out[1:], axis=-1)
-
-
-def _unsort_carry_fwd(source_index, payload):
-    # Carry an iota column through the unsort: sorted by src (a permutation),
-    # slot i receives iota j with src[j] = i, i.e. inv[i] — the inverse
-    # permutation for free inside the sort that runs anyway.
-    c, h, n = source_index.shape
-    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (c, h, n))
-    ops = [source_index, iota] + [payload[..., j] for j in range(payload.shape[-1])]
-    out = jax.lax.sort(ops, dimension=-1, num_keys=1, is_stable=False)
-    return jnp.stack(out[2:], axis=-1), (source_index, out[1])
-
-
-def _unsort_carry_bwd(res, g):
-    source_index, inv = res
-    # out[src[s]] = payload[s]  =>  d payload[s] = g[src[s]]; sorting g on inv
-    # places g[j] with inv[j] = s at slot s, i.e. j = src[s] — sort-based
-    # forward-permutation apply, no gather.
-    gp = _unsort_carry_impl(inv, g)
-    return _float0_zero(source_index), gp
-
-
-unsort_carry.defvjp(_unsort_carry_fwd, _unsort_carry_bwd)
+    return _unsort_carry[bool(pack)](source_index, payload)
 
 
 def sort_to_buckets(x: Array, perm: Array, block_size: int) -> Array:

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...core.hashing import e2lsh_init
-from ...ops.bucket_attn import hept_attention_core
+from ...ops.bucket_attn import hept_attention_core_cols
 from ..mlp import TorchLinear
 
 
@@ -59,6 +59,7 @@ class HeptAttention(nn.Module):
     num_w_per_dist: int
     coords_dim: int
     impl: str = "xla"  # "xla" | "pallas"
+    sort_pack: bool = False  # move sort payloads as bf16 pairs (fast mode)
 
     @nn.compact
     def __call__(self, query, key, value, *, coords, codes, w_rpe_weight,
@@ -74,21 +75,29 @@ class HeptAttention(nn.Module):
         h, d = self.num_heads, self.h_dim
         hash_dim = d + self.coords_dim
 
-        query = query.reshape(n, h, d)
-        key = key.reshape(n, h, d)
-        value = value.reshape(n, h, d)
+        # Column layout ((h, d, n)) end to end: the sort pipeline and bucket
+        # kernels consume columns natively, so the core runs transpose-free
+        # with one cheap (n, h*d) <-> (h*d, n) flip at each boundary.
+        q_cols = query.T.reshape(h, d, n)
+        k_cols = key.T.reshape(h, d, n)
+        v_cols = value.T.reshape(h, d, n)
 
-        q_hat, k_hat = prep_qk(
-            query, key, w_rpe_weight, coords, h, self.num_w_per_dist
-        )
+        # prep_qk math (reference hept.py:36-43) in column layout.
+        w = w_rpe_weight.reshape(h, d, self.coords_dim - 1, self.num_w_per_dist)
+        qw = jnp.exp(jnp.minimum(w.sum(axis=1), 50.0)).sum(axis=-1)  # (h, r)
+        qw_expanded = jnp.concatenate([qw[:, :1], qw], axis=-1)  # (h, cd)
+        sqrt_w = jnp.sqrt(2.0 * qw_expanded)  # (h, cd)
+        w_cols = sqrt_w[:, :, None] * coords.T[None]  # (h, cd, n)
+        q_hat = jnp.concatenate([q_cols, w_cols], axis=1)  # (h, hash_dim, n)
+        k_hat = jnp.concatenate([k_cols, w_cols], axis=1)
 
         if invalid is not None:
             # src-variant padding: zero padded rows of q̂/k̂/v
             # (reference hept.py:89-91).
-            keep = jnp.logical_not(invalid)[:, None, None]
+            keep = jnp.logical_not(invalid)[None, None, :]
             q_hat = jnp.where(keep, q_hat, 0.0)
             k_hat = jnp.where(keep, k_hat, 0.0)
-            value = jnp.where(keep, value, 0.0)
+            v_cols = jnp.where(keep, v_cols, 0.0)
 
         alpha = self.variable(
             "constants",
@@ -96,15 +105,16 @@ class HeptAttention(nn.Module):
             lambda: e2lsh_init(self.make_rng("params"), h, hash_dim, self.n_hashes),
         ).value
 
-        out = hept_attention_core(
-            q_hat.transpose(1, 0, 2),
-            k_hat.transpose(1, 0, 2),
-            value.transpose(1, 0, 2),
+        out = hept_attention_core_cols(
+            q_hat,
+            k_hat,
+            v_cols,
             alpha,
             codes,
             invalid,
             block_size=self.block_size,
             impl=self.impl,
-        )  # (h, n, d)
-        out = out.transpose(1, 0, 2).reshape(n, h * d)
+            sort_pack=self.sort_pack,
+        )  # (h, d, n)
+        out = out.reshape(h * d, n).T
         return TorchLinear(d, name="out_linear")(out)

@@ -47,6 +47,7 @@ class TransformerConfig:
     dropout: float = 0.1
     padding_mode: str = "zero"  # "zero" (src parity) | "replicate" (example)
     attn_impl: str = "xla"  # "xla" | "pallas"
+    sort_pack: bool = False  # bf16-packed sort payloads in HEPT attention
     num_classes: int = 1  # pileup head width
     # baseline-attention knobs (reference configs/*)
     pe_type: str = "none"  # none | learned | fixed
@@ -58,6 +59,11 @@ class TransformerConfig:
     out_dim: Optional[int] = None  # GNN head width override (gnns.py:29-34)
     b_grid: int = 1000  # flatformer discretization bins (reference "B")
     num_slices_per_axis: int = 30  # flatformer window count per axis
+    # Trace/compile the attention stack once via lax.scan over stacked layer
+    # params instead of unrolling n_layers copies (TPU compile-time lever; no
+    # reference counterpart). Params move to blocks/block/... with a leading
+    # n_layers axis — see stack_layer_params/unstack_layer_params.
+    scan_layers: bool = False
 
 
 class PELearned(nn.Module):
@@ -114,6 +120,7 @@ def _make_attention(cfg: TransformerConfig):
             num_w_per_dist=cfg.num_w_per_dist,
             coords_dim=cfg.coords_dim,
             impl=cfg.attn_impl,
+            sort_pack=cfg.sort_pack,
             **common,
         )
     if cfg.attn_type == "performer":
@@ -257,6 +264,46 @@ class AttnBlock(nn.Module):
         return x
 
 
+class _ScanBody(nn.Module):
+    """One scan step over the attention stack: carry = hidden state,
+    y = this layer's output (for the concat-all-layers head)."""
+
+    cfg: TransformerConfig
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, h, coords, codes, invalid, valid, edges, edge_mask):
+        block_cls = AttnBlock
+        if self.cfg.use_ckpt:
+            block_cls = nn.remat(AttnBlock, static_argnums=())
+        out = block_cls(self.cfg, name="block")(
+            h, coords=coords, codes=codes, invalid=invalid, valid=valid,
+            edges=edges, edge_mask=edge_mask, deterministic=self.deterministic,
+        )
+        return out, out
+
+
+def stack_layer_params(tree: dict, n_layers: int, prefix: str = "block_") -> dict:
+    """Convert loop-layout variables ({block_0: .., block_1: ..}) to the
+    scan layout ({blocks: {block: stacked-along-axis-0}}). Works on any
+    collection (params / constants)."""
+    rest = {k: v for k, v in tree.items() if not k.startswith(prefix)}
+    layers = [tree[f"{prefix}{i}"] for i in range(n_layers)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *layers)
+    rest["blocks"] = {"block": stacked}
+    return rest
+
+
+def unstack_layer_params(tree: dict, prefix: str = "block_") -> dict:
+    """Inverse of `stack_layer_params`."""
+    rest = {k: v for k, v in tree.items() if k != "blocks"}
+    stacked = tree["blocks"]["block"]
+    n_layers = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    for i in range(n_layers):
+        rest[f"{prefix}{i}"] = jax.tree_util.tree_map(lambda x: x[i], stacked)
+    return rest
+
+
 class HeptTransformer(nn.Module):
     """Single-event HEPT transformer with static shapes.
 
@@ -304,28 +351,50 @@ class HeptTransformer(nn.Module):
         h = nn.relu(h)
         h = TorchLinear(cfg.h_dim, name="feat_enc_1")(h)
 
-        block_cls = AttnBlock
-        if cfg.use_ckpt:
-            # activation rematerialization (reference transformer.py:138-140's
-            # torch.utils.checkpoint, as jax.checkpoint/nn.remat)
-            block_cls = nn.remat(AttnBlock, static_argnums=())
-
-        all_layers = [h]
-        for i in range(cfg.n_layers):
-            out = block_cls(cfg, name=f"block_{i}")(
-                h, coords=coords, codes=codes, invalid=invalid, valid=valid,
-                edges=edges, edge_mask=edge_mask, deterministic=deterministic,
+        if cfg.scan_layers and cfg.attn_type != "flatformer":
+            # one traced/compiled layer body; params stacked on axis 0
+            scan_cls = nn.scan(
+                _ScanBody,
+                variable_axes={"params": 0, "constants": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast,) * 6,  # coords..edge_mask
+                out_axes=0,
+                length=cfg.n_layers,
             )
-            if cfg.attn_type == "flatformer":
-                # concat all 4 inner-layer outputs (transformer.py:134-136;
-                # W width h_dim * (n_layers*4 + 1), transformer.py:106)
-                h, shifts = out
-                all_layers.extend(shifts)
-            else:
-                h = out
-                all_layers.append(h)
+            h0 = h
+            h, ys = scan_cls(cfg, deterministic, name="blocks")(
+                h, coords, codes, invalid, valid, edges, edge_mask
+            )
+            n = h.shape[0]
+            # (n_layers, N, d) -> per-point [layer0 | layer1 | ...] columns,
+            # matching the loop version's concatenation order.
+            cat = jnp.concatenate(
+                [h0, ys.transpose(1, 0, 2).reshape(n, cfg.n_layers * cfg.h_dim)],
+                axis=-1,
+            )
+        else:
+            block_cls = AttnBlock
+            if cfg.use_ckpt:
+                # activation rematerialization (reference transformer.py:138-140's
+                # torch.utils.checkpoint, as jax.checkpoint/nn.remat)
+                block_cls = nn.remat(AttnBlock, static_argnums=())
 
-        cat = jnp.concatenate(all_layers, axis=-1)
+            all_layers = [h]
+            for i in range(cfg.n_layers):
+                out = block_cls(cfg, name=f"block_{i}")(
+                    h, coords=coords, codes=codes, invalid=invalid, valid=valid,
+                    edges=edges, edge_mask=edge_mask, deterministic=deterministic,
+                )
+                if cfg.attn_type == "flatformer":
+                    # concat all 4 inner-layer outputs (transformer.py:134-136;
+                    # W width h_dim * (n_layers*4 + 1), transformer.py:106)
+                    h, shifts = out
+                    all_layers.extend(shifts)
+                else:
+                    h = out
+                    all_layers.append(h)
+
+            cat = jnp.concatenate(all_layers, axis=-1)
         out = TorchLinear(cfg.h_dim // 2, use_bias=False, name="W")(cat)
         mlp = OutMLP(cfg.h_dim // 2, name="mlp_out")(out)
         out = out + nn.Dropout(cfg.dropout, deterministic=deterministic)(mlp)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from ..core.buckets import sort_carry, unsort_carry
+from ..core.buckets import grouped_sort_carry, sort_carry, unsort_carry
 from ..core.hashing import lsh_mapping
 
 DENOM_EPS = 1e-20
@@ -63,7 +63,7 @@ def dense_rbf_attention(q_hat: Array, k_hat: Array, v: Array):
 
 @partial(
     jax.jit,
-    static_argnames=("block_size", "impl"),
+    static_argnames=("block_size", "impl", "sort_pack"),
 )
 def hept_attention_core(
     q_hat: Array,
@@ -75,6 +75,7 @@ def hept_attention_core(
     *,
     block_size: int,
     impl: str = "xla",
+    sort_pack: bool = False,
 ) -> Array:
     """Full HEPT attention pipeline for one event (or vmap over events).
 
@@ -110,10 +111,11 @@ def hept_attention_core(
     dv = v.shape[-1]
     nb = n // block_size
 
-    # Variadic sorts carry the feature columns through the sorting network —
-    # no argsort, no gathers, no inverse permutation (core/buckets.sort_carry).
-    sq_flat, q_src = sort_carry(q_key, q_hat)
-    skv_flat, _ = sort_carry(k_key, jnp.concatenate([k_hat, v], axis=-1))
+    # Batch-folded sorts carry the feature columns through the sorting
+    # network — no argsort, no gathers, no inverse permutation
+    # (core/buckets.sort_carry). sort_pack=True moves them as bf16 pairs.
+    sq_flat, q_src = sort_carry(q_key, q_hat, sort_pack)
+    skv_flat, _ = sort_carry(k_key, jnp.concatenate([k_hat, v], axis=-1), sort_pack)
     sq = sq_flat.reshape(c, h, nb, block_size, d_hash)
     sk = skv_flat[..., :d_hash].reshape(c, h, nb, block_size, d_hash)
     sv = skv_flat[..., d_hash:].reshape(c, h, nb, block_size, dv)
@@ -128,9 +130,108 @@ def hept_attention_core(
         # interpret mode separately).
         denom, so = bucket_rbf_attention_xla(sq, sk, sv)
 
-    # one fused unsort of [numerator | denominator] keyed on carried indices
+    # one fused unsort of [numerator | denominator] keyed on carried indices.
+    # The unsort stays f32 even when sort_pack: numerator/denominator sums
+    # are the OR-combine accumulands and bf16 rounding there costs accuracy
+    # for negligible time (25 columns once vs 84 twice).
     od = unsort_carry(
         q_src, jnp.concatenate([so, denom], axis=-1).reshape(c, h, n, dv + 1)
     )
     o, logits = od[..., :-1], od[..., -1:]
+    return o.sum(axis=0) / logits.sum(axis=0)
+
+
+def bucket_rbf_attention_cols_xla(sq: Array, sk: Array, sv: Array, block_size: int):
+    """Column-major per-bucket RBF attention, einsum path (CPU/golden).
+
+    Args: sq, sk: (r, d, n); sv: (r, dv, n), n = nb * B.
+    Returns: (denom (r, 1, n), so (r, dv, n)).
+    """
+    r, d, n = sq.shape
+    dv = sv.shape[1]
+    nb = n // block_size
+    q = sq.reshape(r, d, nb, block_size)
+    k = sk.reshape(r, d, nb, block_size)
+    v = sv.reshape(r, dv, nb, block_size)
+    logits = jnp.einsum("rdgi,rdgj->rgij", q, k, preferred_element_type=jnp.float32)
+    q_sq = -0.5 * jnp.sum(q * q, axis=1)  # (r, nb, B)
+    k_sq = -0.5 * jnp.sum(k * k, axis=1)
+    logits = logits + q_sq[..., :, None] + k_sq[..., None, :]
+    p = jnp.exp(jnp.minimum(logits, 0.0))
+    denom = jnp.sum(p, axis=-1) + DENOM_EPS  # (r, nb, B)
+    so = jnp.einsum("rdgj,rgij->rdgi", v, p, preferred_element_type=jnp.float32)
+    return denom.reshape(r, 1, n), so.reshape(r, dv, n)
+
+
+@partial(jax.jit, static_argnames=("block_size", "impl", "sort_pack"))
+def hept_attention_core_cols(
+    q_hat: Array,
+    k_hat: Array,
+    v: Array,
+    alpha: Array,
+    codes: Array,
+    invalid: Array | None = None,
+    *,
+    block_size: int,
+    impl: str = "xla",
+    sort_pack: bool = False,
+) -> Array:
+    """Column-major HEPT attention pipeline (the TPU hot path).
+
+    Same math as `hept_attention_core` (reference
+    src/models/attention/hept.py:93-115 / example/hept.py:61-79) but all
+    tensors travel as (d, n) columns — the layout both the batch-folded sort
+    and the bucket kernels consume natively, so the pipeline has NO
+    transposes, and the q̂ and k̂/v sorts ride ONE lax.sort call (each call
+    costs ~75-85 ms on TPU at any size — calls, not bytes, are the budget).
+
+    Args:
+      q_hat, k_hat: (h, d_hash, n) RPE-folded queries/keys as columns.
+      v: (h, dv, n) values as columns.
+      alpha: (h, d_hash, c) frozen E2LSH directions.
+      codes: (c, h, n) AND codes; invalid: optional (n,) bool.
+    Returns: (h, dv, n) attention output columns.
+    """
+    # lsh_mapping math (hashing.py) in column layout
+    both = jax.lax.stop_gradient(
+        jnp.stack([
+            jnp.einsum("hdc,hdn->chn", alpha, q_hat),
+            jnp.einsum("hdc,hdn->chn", alpha, k_hat),
+        ])
+    )
+    hash_shift = both.max(axis=(0, 3), keepdims=True) - both.min(
+        axis=(0, 3), keepdims=True
+    )
+    q_hashed, k_hashed = both
+    shift = jax.lax.stop_gradient(codes).astype(jnp.float32) * hash_shift[0]
+    q_key = q_hashed + shift
+    k_key = k_hashed + shift
+    if invalid is not None:
+        big = jnp.asarray(3.0e38, jnp.float32)
+        q_key = jnp.where(invalid[None, None, :], big, q_key)
+        k_key = jnp.where(invalid[None, None, :], big, k_key)
+
+    c, h, n = q_key.shape
+    d_hash = k_hat.shape[1]
+    dv = v.shape[1]
+
+    (sq, skv), (q_src, _) = grouped_sort_carry(
+        [q_key, k_key],
+        [q_hat, jnp.concatenate([k_hat, v], axis=1)],
+        pack=sort_pack,
+    )
+    sq = sq.reshape(c * h, d_hash, n)
+    sk = skv[:, :, :d_hash].reshape(c * h, d_hash, n)
+    sv = skv[:, :, d_hash:].reshape(c * h, dv, n)
+
+    if impl == "pallas" and jax.default_backend() == "tpu":
+        from .bucket_attn_pallas import bucket_rbf_attention_cols_pallas
+
+        denom, so = bucket_rbf_attention_cols_pallas(sq, sk, sv, block_size=block_size)
+    else:
+        denom, so = bucket_rbf_attention_cols_xla(sq, sk, sv, block_size)
+
+    od = jnp.concatenate([so, denom], axis=1).reshape(c, h, dv + 1, n)
+    (od_unsorted,), _ = grouped_sort_carry([q_src], [od], pack=False)
+    o, logits = od_unsorted[:, :, :dv], od_unsorted[:, :, dv:]
     return o.sum(axis=0) / logits.sum(axis=0)

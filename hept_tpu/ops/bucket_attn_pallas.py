@@ -226,3 +226,196 @@ def _bwd_rule(residuals, grads):
 
 
 bucket_rbf_attention_pallas.defvjp(_fwd_rule, _bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Column-major, bucket-batched kernels.
+#
+# The row-major kernel above runs one bucket per grid step: 14400 steps of
+# ~25 KB DMAs are latency-bound (~6.4 us/step = 92 ms at 60k points). These
+# kernels take the (c*h, d, n) COLUMN layout the sort pipeline produces
+# natively, move G consecutive buckets per grid step (one contiguous lane
+# slice — no padding rows, no index arithmetic), and unroll the G per-bucket
+# dots inside the step where the data is already VMEM-resident.
+# ---------------------------------------------------------------------------
+
+
+def _pick_group(nb: int, cap: int = 8) -> int:
+    """Buckets per grid step: largest divisor of nb <= cap that satisfies the
+    Pallas TPU block rule for the (nb-)dim — divisible by 8, or the whole
+    axis. cap=8 keeps the unrolled per-bucket temporaries (Mosaic does not
+    reuse them across unrolled iterations) within scoped VMEM."""
+    for g in range(min(cap, nb), 0, -1):
+        if nb % g == 0 and (g % 8 == 0 or g == nb):
+            return g
+    return nb
+
+
+def _fwd_cols_kernel(q_ref, k_ref, v_ref, denom_ref, so_ref, *, g: int):
+    for i in range(g):
+        q = q_ref[0, :, i, :]  # (d, B)
+        k = k_ref[0, :, i, :]
+        v = v_ref[0, :, i, :]
+        qk = jax.lax.dot_general(
+            q, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (Bq, Bk)
+        q_sq = -0.5 * jnp.sum(q * q, axis=0)[:, None]
+        k_sq = -0.5 * jnp.sum(k * k, axis=0)[None, :]
+        p = jnp.exp(jnp.minimum(qk + q_sq + k_sq, 0.0))  # (Bq, Bk)
+        denom_ref[0, 0, i, :] = jnp.sum(p, axis=-1) + DENOM_EPS
+        so_ref[0, :, i, :] = jax.lax.dot_general(
+            v, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (dv, Bq)
+
+
+def _bwd_cols_kernel(
+    q_ref, k_ref, v_ref, gso_ref, gden_ref, dq_ref, dk_ref, dv_ref, *, g: int
+):
+    for i in range(g):
+        q = q_ref[0, :, i, :]
+        k = k_ref[0, :, i, :]
+        v = v_ref[0, :, i, :]
+        g_so = gso_ref[0, :, i, :]  # (dv, B)
+        g_den = gden_ref[0, 0, i, :]  # (B,)
+        qk = jax.lax.dot_general(
+            q, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        q_sq = -0.5 * jnp.sum(q * q, axis=0)[:, None]
+        k_sq = -0.5 * jnp.sum(k * k, axis=0)[None, :]
+        logits = qk + q_sq + k_sq
+        p = jnp.exp(jnp.minimum(logits, 0.0))
+        # dL/dp_ij = g_so_:i . v_:j + g_den_i; clamp gate on logits < 0
+        gp = (
+            jax.lax.dot_general(
+                g_so, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            + g_den[:, None]
+        )
+        dl = jnp.where(logits < 0.0, p * gp, 0.0)  # (Bq, Bk)
+        row_sum = jnp.sum(dl, axis=1)[None, :]  # (1, Bq)
+        col_sum = jnp.sum(dl, axis=0)[None, :]  # (1, Bk)
+        dq_ref[0, :, i, :] = (
+            jax.lax.dot_general(
+                k, dl, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            - row_sum * q
+        )  # (d, Bq)
+        dk_ref[0, :, i, :] = (
+            jax.lax.dot_general(
+                q, dl, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            - col_sum * k
+        )  # (d, Bk)
+        dv_ref[0, :, i, :] = jax.lax.dot_general(
+            g_so, p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (dv, Bk)
+
+
+def _make_cols_pallas(bs: int):
+    @jax.custom_vjp
+    def f(sq, sk, sv):
+        return _fwd_cols_impl(sq, sk, sv, bs)
+
+    def fwd(sq, sk, sv):
+        return _fwd_cols_impl(sq, sk, sv, bs), (sq, sk, sv)
+
+    def bwd(residuals, grads):
+        return _bwd_cols_impl(residuals, grads, bs)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+_cols_pallas_cache: dict = {}
+
+
+def bucket_rbf_attention_cols_pallas(sq: Array, sk: Array, sv: Array, *, block_size: int):
+    """Column-major fused per-bucket RBF attention.
+
+    Args: sq, sk: (r, d, n); sv: (r, dv, n) with n = nb * B (sorted bucket
+    layout along the last axis; r = c*h grid rows).
+    Returns: (denom (r, 1, n), so (r, dv, n)).
+    """
+    fn = _cols_pallas_cache.get(block_size)
+    if fn is None:
+        fn = _make_cols_pallas(block_size)
+        _cols_pallas_cache[block_size] = fn
+    return fn(sq, sk, sv)
+
+
+def _fwd_cols_impl(sq: Array, sk: Array, sv: Array, bs: int):
+    r, d, n = sq.shape
+    dv = sv.shape[1]
+    nb = n // bs
+    g = _pick_group(nb)
+    grid = (r, nb // g)
+    kernel = functools.partial(_fwd_cols_kernel, g=g)
+    sq = sq.reshape(r, d, nb, bs)
+    sk = sk.reshape(r, d, nb, bs)
+    sv = sv.reshape(r, dv, nb, bs)
+    denom, so = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, d, g, bs), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, g, bs), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dv, g, bs), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, g, bs), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dv, g, bs), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, 1, nb, bs), jnp.float32),
+            jax.ShapeDtypeStruct((r, dv, nb, bs), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=r * nb * 2 * bs * bs * (d + dv),
+            bytes_accessed=4 * r * n * (2 * d + 2 * dv + 1),
+            transcendentals=r * n * bs,
+        ),
+    )(sq, sk, sv)
+    return denom.reshape(r, 1, n), so.reshape(r, dv, n)
+
+
+def _bwd_cols_impl(residuals, grads, bs):
+    sq, sk, sv = residuals
+    g_denom, g_so = grads
+    r, d, n = sq.shape
+    dv = sv.shape[1]
+    nb = n // bs
+    g = _pick_group(nb)
+    grid = (r, nb // g)
+    kernel = functools.partial(_bwd_cols_kernel, g=g)
+    sq = sq.reshape(r, d, nb, bs)
+    sk = sk.reshape(r, d, nb, bs)
+    sv = sv.reshape(r, dv, nb, bs)
+    g_so = g_so.reshape(r, dv, nb, bs)
+    g_denom = g_denom.reshape(r, 1, nb, bs)
+    dq, dk, dv_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, d, g, bs), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, g, bs), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dv, g, bs), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dv, g, bs), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g, bs), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, d, g, bs), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, g, bs), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dv, g, bs), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, d, nb, bs), jnp.float32),
+            jax.ShapeDtypeStruct((r, d, nb, bs), jnp.float32),
+            jax.ShapeDtypeStruct((r, dv, nb, bs), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=r * nb * 2 * bs * bs * (3 * d + 2 * dv),
+            bytes_accessed=4 * r * n * (4 * d + 4 * dv + 1),
+            transcendentals=r * n * bs,
+        ),
+    )(sq, sk, sv, g_so, g_denom)
+    return dq.reshape(r, d, n), dk.reshape(r, d, n), dv_out.reshape(r, dv, n)

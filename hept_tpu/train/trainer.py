@@ -255,8 +255,9 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
         from ..utils.flops import cost_analysis
 
         ca = cost_analysis(
-            lambda v: model_apply(v, jax.tree_util.tree_map(jnp.asarray, b0)),
+            lambda v, b: model_apply(v, b),
             variables,
+            jax.tree_util.tree_map(jnp.asarray, b0),
         )
         log(f"XLA cost analysis: flops={ca.get('flops')}, "
             f"bytes accessed={ca.get('bytes accessed')}")

@@ -100,11 +100,13 @@ scan_time("e_lastdim", lastdim)
 
 # (f) sort carrying payload columns (variadic sort moves data directly)
 def carry_sort(s):
+    # NOTE: all outputs must be consumed or XLA dead-code-eliminates the
+    # payload operands and the timing is bogus (this burned us once).
     ops = [keys_sort * s] + [
         jnp.broadcast_to(x[None, :, :, i], (C, H, N)) for i in range(D)
     ]
     sorted_ops = jax.lax.sort(ops, dimension=-1, num_keys=1)
-    return sorted_ops[1]
+    return sum(o.sum() for o in sorted_ops)
 
 
 scan_time("f_variadic_sort", carry_sort)

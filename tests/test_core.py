@@ -187,3 +187,51 @@ def test_ceil_to_multiple():
     assert ceil_to_multiple(1, 8) == 8
     assert ceil_to_multiple(8, 8) == 8
     assert ceil_to_multiple(9, 8) == 16
+
+
+class TestPackedSortCarry:
+    """bf16-packed sort payloads: same permutation, bf16-rounded values."""
+
+    def test_pack_matches_f32_within_bf16_tolerance(self):
+        import numpy as np
+
+        from hept_tpu.core.buckets import sort_carry, unsort_carry
+
+        rng = np.random.default_rng(3)
+        c, h, n, d = 2, 3, 64, 7
+        keys = jnp.asarray(rng.normal(size=(c, h, n)).astype(np.float32))
+        payload = jnp.asarray(rng.normal(size=(c, h, n, d)).astype(np.float32))
+
+        out_f32, src_f32 = sort_carry(keys, payload)
+        out_bf, src_bf = sort_carry(keys, payload, pack=True)
+        np.testing.assert_array_equal(np.asarray(src_f32), np.asarray(src_bf))
+        np.testing.assert_allclose(
+            np.asarray(out_bf), np.asarray(out_f32), rtol=1e-2, atol=1e-2
+        )
+
+        # unsort roundtrip in packed mode recovers the payload (bf16-rounded)
+        back = unsort_carry(src_bf, out_bf, pack=True)
+        np.testing.assert_allclose(
+            np.asarray(back), np.asarray(payload), rtol=1e-2, atol=1e-2
+        )
+
+    def test_pack_odd_width_and_grads(self):
+        import numpy as np
+
+        from hept_tpu.core.buckets import sort_carry
+
+        rng = np.random.default_rng(4)
+        c, h, n, d = 2, 2, 32, 5  # odd d exercises the zero-pad column
+        keys = jnp.asarray(rng.normal(size=(c, h, n)).astype(np.float32))
+        payload = jnp.asarray(rng.normal(size=(h, n, d)).astype(np.float32))
+
+        def loss(p):
+            out, _ = sort_carry(keys, p, pack=True)
+            return jnp.sum(out**2)
+
+        g = jax.grad(loss)(payload)
+        assert g.shape == payload.shape
+        # each row is duplicated across c hashes -> grad = 2*c*payload (bf16-rounded)
+        np.testing.assert_allclose(
+            np.asarray(g), 2 * c * np.asarray(payload), rtol=3e-2, atol=3e-2
+        )
