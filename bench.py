@@ -108,19 +108,22 @@ def main():
         params = optax.apply_updates(state.params, updates)
         return state.replace(step=state.step + 1, params=params, opt_state=opt_state), loss
 
-    # compile + warmup
+    # compile + warmup. NOTE: timing boundaries fetch the loss scalar to
+    # host — on the remote TPU backend block_until_ready can return before
+    # execution completes, so a device->host value read is the only reliable
+    # fence (float() forces it).
     _stamp("compiling train step")
     state, loss = train_step(state, bt)
-    jax.block_until_ready(loss)
+    float(loss)
     _stamp("train step compiled")
     for _ in range(WARMUP - 1):
         state, loss = train_step(state, bt)
-    jax.block_until_ready(loss)
+    float(loss)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, loss = train_step(state, bt)
-    jax.block_until_ready(loss)
+    final_loss = float(loss)
     dt = (time.perf_counter() - t0) / ITERS
 
     # forward-only latency (reference example.ipynb cells 9-10 equivalent)
@@ -130,11 +133,11 @@ def main():
         )
     )
     out = fwd(state.params, state.constants, bt)
-    jax.block_until_ready(out)
+    float(out.sum())
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out = fwd(state.params, state.constants, bt)
-    jax.block_until_ready(out)
+    float(out.sum())
     fwd_ms = (time.perf_counter() - t0) / ITERS * 1e3
 
     pps = N_POINTS / dt
@@ -148,7 +151,7 @@ def main():
                 "step_ms": round(dt * 1e3, 2),
                 "fwd_ms": round(fwd_ms, 2),
                 "backend": jax.default_backend(),
-                "loss": float(loss),
+                "loss": final_loss,
             }
         )
     )

@@ -23,7 +23,12 @@ from jax import Array
 from ..core.buckets import grouped_sort_carry, sort_carry, unsort_carry
 from ..core.hashing import lsh_mapping
 
-DENOM_EPS = 1e-20
+# Reference uses 1e-20 (hept.py:29). That value NaNs the backward pass in
+# f32 whenever an attention row fully underflows (all p == 0): the VJP of
+# so/denom squares the denominator and (1e-20)^2 underflows to 0, yielding
+# 0*x/0. 1e-8 keeps empty rows at output 0 with finite grads and perturbs
+# real rows (denom >= 1, the self-attention term) by ~1e-8 relative.
+DENOM_EPS = 1e-8
 
 
 def bucket_rbf_attention_xla(sq: Array, sk: Array, sv: Array):

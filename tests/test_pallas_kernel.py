@@ -86,3 +86,54 @@ def test_tpu_real_sizes():
     denom_x, so_x = bucket_rbf_attention_xla(sq, sk, sv)
     np.testing.assert_allclose(np.asarray(denom_p), np.asarray(denom_x), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(so_p), np.asarray(so_x), rtol=1e-4, atol=1e-5)
+
+
+class TestColsKernels:
+    """Column-major bucket-batched kernels vs the cols XLA golden path
+    (interpret mode on CPU; real hardware via bench.py)."""
+
+    def _data(self, r=4, d=6, dv=5, nb=10, bs=8):
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+        n = nb * bs
+        return (
+            _rand(k1, (r, d, n)),
+            _rand(k2, (r, d, n)),
+            _rand(k3, (r, dv, n)),
+        )
+
+    def test_fwd_matches_xla(self):
+        from hept_tpu.ops.bucket_attn import bucket_rbf_attention_cols_xla
+        from hept_tpu.ops.bucket_attn_pallas import (
+            bucket_rbf_attention_cols_pallas,
+        )
+
+        sq, sk, sv = self._data()
+        den_x, so_x = bucket_rbf_attention_cols_xla(sq, sk, sv, 8)
+        with _ctx():
+            den_p, so_p = bucket_rbf_attention_cols_pallas(sq, sk, sv, block_size=8)
+        np.testing.assert_allclose(np.asarray(den_p), np.asarray(den_x), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(so_p), np.asarray(so_x), rtol=1e-5, atol=1e-6)
+
+    def test_bwd_matches_xla(self):
+        from hept_tpu.ops.bucket_attn import bucket_rbf_attention_cols_xla
+        from hept_tpu.ops.bucket_attn_pallas import (
+            bucket_rbf_attention_cols_pallas,
+        )
+
+        sq, sk, sv = self._data()
+
+        def loss_x(sq, sk, sv):
+            den, so = bucket_rbf_attention_cols_xla(sq, sk, sv, 8)
+            return jnp.sum(so / den) + jnp.sum(jnp.log(den))
+
+        def loss_p(sq, sk, sv):
+            den, so = bucket_rbf_attention_cols_pallas(sq, sk, sv, block_size=8)
+            return jnp.sum(so / den) + jnp.sum(jnp.log(den))
+
+        g_x = jax.grad(loss_x, argnums=(0, 1, 2))(sq, sk, sv)
+        with _ctx():
+            g_p = jax.grad(loss_p, argnums=(0, 1, 2))(sq, sk, sv)
+        for a, b, nm in zip(g_x, g_p, ("dq", "dk", "dv")):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5, err_msg=nm
+            )
