@@ -89,7 +89,8 @@ class GroupAttention(nn.Module):
             k_sq = -0.5 * jnp.sum(k_hat**2, axis=-1, keepdims=True)
             p = jnp.exp(jnp.minimum(logits + q_sq + jnp.swapaxes(k_sq, -1, -2), 0.0))
             p = jnp.where(kv > 0.5, p, 0.0)
-            p = p / (jnp.sum(p, axis=-1, keepdims=True) + 1e-8)  # 1e-20 NaNs f32 bwd on empty rows
+            from ...ops.bucket_attn import stable_ratio
+            p = stable_ratio(p, jnp.sum(p, axis=-1, keepdims=True) + 1e-20)
             out = jnp.einsum("ghij,ghjd->ghid", p, v)
         else:
             temp = 1.0 / math.sqrt(d)

@@ -23,12 +23,41 @@ from jax import Array
 from ..core.buckets import grouped_sort_carry, sort_carry, unsort_carry
 from ..core.hashing import lsh_mapping
 
-# Reference uses 1e-20 (hept.py:29). That value NaNs the backward pass in
-# f32 whenever an attention row fully underflows (all p == 0): the VJP of
-# so/denom squares the denominator and (1e-20)^2 underflows to 0, yielding
-# 0*x/0. 1e-8 keeps empty rows at output 0 with finite grads and perturbs
-# real rows (denom >= 1, the self-attention term) by ~1e-8 relative.
-DENOM_EPS = 1e-8
+DENOM_EPS = 1e-20  # reference hept.py:29 / example/hept.py:14
+
+
+@jax.custom_vjp
+def stable_ratio(num, den):
+    """num / den with a denominator-square-free VJP.
+
+    Plain AD of num/den computes -g*num/den**2; with the reference's
+    DENOM_EPS = 1e-20 an attention row whose probabilities all underflow
+    (den == 1e-20) makes den**2 underflow f32 to 0 and the gradient becomes
+    0*x/0 = NaN. Using the already-computed output o = num/den gives
+    d num = g/den and d den = -sum(g*o)/den — no square, finite everywhere
+    representable. `den` must be broadcastable to num with size 1 on exactly
+    the axes it reduces over.
+    """
+    return num / den
+
+
+def _stable_ratio_fwd(num, den):
+    o = num / den
+    return o, (o, den)
+
+
+def _stable_ratio_bwd(res, g):
+    o, den = res
+    inv = 1.0 / den
+    d_num = g * inv
+    go = g * o
+    # reduce over the broadcasted axes (where den has size 1 and num doesn't)
+    axes = tuple(i for i, (a, b) in enumerate(zip(go.shape, den.shape)) if b == 1 and a != 1)
+    d_den = -jnp.sum(go, axis=axes, keepdims=True) * inv
+    return d_num, d_den
+
+
+stable_ratio.defvjp(_stable_ratio_fwd, _stable_ratio_bwd)
 
 
 def bucket_rbf_attention_xla(sq: Array, sk: Array, sv: Array):
@@ -143,7 +172,7 @@ def hept_attention_core(
         q_src, jnp.concatenate([so, denom], axis=-1).reshape(c, h, n, dv + 1)
     )
     o, logits = od[..., :-1], od[..., -1:]
-    return o.sum(axis=0) / logits.sum(axis=0)
+    return stable_ratio(o.sum(axis=0), logits.sum(axis=0))
 
 
 def bucket_rbf_attention_cols_xla(sq: Array, sk: Array, sv: Array, block_size: int):
@@ -239,4 +268,4 @@ def hept_attention_core_cols(
     od = jnp.concatenate([so, denom], axis=1).reshape(c, h, dv + 1, n)
     (od_unsorted,), _ = grouped_sort_carry([q_src], [od], pack=False)
     o, logits = od_unsorted[:, :, :dv], od_unsorted[:, :, dv:]
-    return o.sum(axis=0) / logits.sum(axis=0)
+    return stable_ratio(o.sum(axis=0), logits.sum(axis=0))

@@ -133,3 +133,53 @@ class TestInvalidMask:
         for g in grads:
             assert np.isfinite(np.asarray(g)).all()
             assert np.abs(np.asarray(g)).max() > 0
+
+
+class TestStableRatio:
+    """Regression: reference DENOM_EPS=1e-20 must not NaN the backward pass
+    when attention rows fully underflow (den**2 underflows f32)."""
+
+    def test_empty_row_grads_finite(self):
+        from hept_tpu.ops.bucket_attn import stable_ratio
+
+        num = jnp.zeros((2, 4, 8))
+        den = jnp.full((2, 1, 8), 1e-20)
+
+        def loss(n, d):
+            return jnp.sum(stable_ratio(n, d) ** 2) + jnp.sum(stable_ratio(n, d))
+
+        gn, gd = jax.grad(loss, argnums=(0, 1))(num, den)
+        assert bool(jnp.isfinite(gn).all()) and bool(jnp.isfinite(gd).all())
+
+    def test_matches_plain_division_grads(self):
+        from hept_tpu.ops.bucket_attn import stable_ratio
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        num = jax.random.normal(k1, (3, 5, 7))
+        den = jnp.abs(jax.random.normal(k2, (3, 1, 7))) + 0.5
+
+        g1 = jax.grad(lambda n, d: jnp.sum((n / d) ** 3), argnums=(0, 1))(num, den)
+        g2 = jax.grad(lambda n, d: jnp.sum(stable_ratio(n, d) ** 3), argnums=(0, 1))(num, den)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+    def test_attention_far_clusters_grads_finite(self):
+        # two far-apart point clusters force fully-underflowed rows when the
+        # q and k sorts disagree; grads must stay finite at DENOM_EPS=1e-20.
+        from hept_tpu.core.hashing import e2lsh_init
+        from hept_tpu.ops.bucket_attn import hept_attention_core_cols
+
+        h, n, d, dv, c, bs = 2, 64, 6, 4, 2, 8
+        k = jax.random.PRNGKey(3)
+        q = jax.random.normal(k, (h, d, n)) * 60.0  # huge magnitudes
+        v = jax.random.normal(k, (h, dv, n))
+        alpha = e2lsh_init(k, h, d, c)
+        codes = jnp.zeros((c, h, n), jnp.float32)
+
+        def loss(q, v):
+            out = hept_attention_core_cols(q, q * -1.0, v, alpha, codes, None,
+                                           block_size=bs, impl="xla")
+            return jnp.sum(out ** 2)
+
+        gq, gv = jax.grad(loss, argnums=(0, 1))(q, v)
+        assert bool(jnp.isfinite(gq).all()) and bool(jnp.isfinite(gv).all())
