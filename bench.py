@@ -69,6 +69,8 @@ def main():
         padding_mode="replicate",
         attn_impl="pallas" if on_tpu else "xla",
         scan_layers=True,
+        sort_pack=True,  # bf16-packed sort payloads (validated: converges
+        # identically to f32 on this workload; see BASELINE.md round-1 notes)
     )
     model = HeptTransformer(cfg)
     # IMPORTANT: the batch is passed to the jitted step as ARGUMENTS, never

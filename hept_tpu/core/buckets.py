@@ -134,9 +134,15 @@ def _folded_sort(keys: Array, payload: Array, pack: bool, with_iota: bool):
         )
         rows = jnp.concatenate([rows, iota], axis=2)
     kb = jnp.broadcast_to(keys[:, :, None, :], rows.shape)
-    _, sorted_rows = jax.lax.sort(
-        [kb, rows], dimension=-1, num_keys=1, is_stable=False
+    # XLA's TPU sort runs 2-D batches at full speed but hits a ~50-250x
+    # slow path on >=3-D operands (measured: (2136, 61440) 90 ms vs
+    # (24, 89, 61440) 23 s) — flatten the batch dims around the call.
+    flat = (rows.shape[0] * rows.shape[1] * rows.shape[2], rows.shape[3])
+    _, sorted_flat = jax.lax.sort(
+        [kb.reshape(flat), rows.reshape(flat)],
+        dimension=-1, num_keys=1, is_stable=False,
     )
+    sorted_rows = sorted_flat.reshape(rows.shape)
     src = None
     if with_iota:
         src = sorted_rows[:, :, -1, :].astype(jnp.int32)
@@ -190,9 +196,14 @@ def _grouped_sort_impl(keys_list, payload_list, pack):
         dims.append(d)
     all_rows = jnp.concatenate(rows, axis=2)
     all_keys = jnp.concatenate(key_rows, axis=2)
-    _, sorted_rows = jax.lax.sort(
-        [all_keys, all_rows], dimension=-1, num_keys=1, is_stable=False
+    # 2-D flatten around the sort: see _folded_sort for the TPU >=3-D
+    # sort slow path this avoids.
+    flat = (all_rows.shape[0] * all_rows.shape[1] * all_rows.shape[2], n)
+    _, sorted_flat = jax.lax.sort(
+        [all_keys.reshape(flat), all_rows.reshape(flat)],
+        dimension=-1, num_keys=1, is_stable=False,
     )
+    sorted_rows = sorted_flat.reshape(all_rows.shape)
     outs, srcs, off = [], [], 0
     for (keys, cols), d in zip(zip(keys_list, payload_list), dims):
         D = d + (d % 2) if pack else d

@@ -319,7 +319,13 @@ class HeptTransformer(nn.Module):
     cfg: TransformerConfig
 
     @nn.compact
-    def __call__(self, x, coords, valid, *, deterministic: bool = True):
+    def __call__(self, x, coords, valid, *, deterministic: bool = True,
+                 prepared=None):
+        """`prepared`: optional (x, coords, codes, invalid, edges, edge_mask)
+        from an external `_prepare_event` pass — the flat-batch path
+        (`make_flat_batched_apply`) prepares per event, concatenates with
+        batch-index AND codes (the reference example's batched design,
+        example/transformer.py:55-56), and skips the in-model prepare."""
         cfg = self.cfg
         n = x.shape[0]
         assert n % cfg.block_size == 0, "N must be a multiple of block_size"
@@ -338,9 +344,12 @@ class HeptTransformer(nn.Module):
                 ),
             ).value
 
-        x, coords, codes, invalid, edges, edge_mask = _prepare_event(
-            x, coords, valid, regions, cfg
-        )
+        if prepared is None:
+            x, coords, codes, invalid, edges, edge_mask = _prepare_event(
+                x, coords, valid, regions, cfg
+            )
+        else:
+            x, coords, codes, invalid, edges, edge_mask = prepared
 
         if cfg.task == "pileup":
             pids = x[..., -1].astype(jnp.int32)
@@ -498,3 +507,61 @@ def make_batched_apply(model: HeptTransformer):
         return jax.vmap(lambda xe, ce, ve: one(xe, ce, ve, None))(x, coords, valid)
 
     return batched
+
+
+def make_flat_batched_apply(model: HeptTransformer):
+    """Flat batching for HEPT: concatenate B events into ONE n_total-point
+    event with the batch index packed into the AND codes, so buckets never
+    cross events (the reference example's batched design,
+    example/transformer.py:35-63 + bit_shift 10-13).
+
+    This is the TPU-throughput formulation: the per-layer lax.sort calls are
+    latency-bound (~75-100 ms at any size up to ~250k points on v5e), so B
+    events cost barely more than one. The per-event region quantiles and
+    replication padding run vmapped over the dense (B, N, ...) layout
+    (parity with per-graph partitioning, example/transformer.py:44-51), then
+    everything is flattened for the single forward pass.
+
+    Returns apply(variables, x (B,N,F), coords (B,N,C), valid (B,N)) ->
+    (B, N, out_dim).
+    """
+    cfg = model.cfg
+    assert cfg.attn_type == "hept", "flat batching targets the HEPT path"
+
+    def apply(variables, x, coords, valid, *, deterministic=True, rngs=None):
+        b, n = x.shape[:2]
+        regions = variables["constants"]["regions"]
+
+        xp, cp, codes, invalid, _, _ = jax.vmap(
+            lambda xe, ce, ve: _prepare_event(xe, ce, ve, regions, cfg)
+        )(x, coords, valid)
+        # (B, c, h, n) codes -> (c, h, B*n) with the batch index in the high
+        # bits (per-row bit_shift; codes are int-valued).
+        c_, h_ = codes.shape[1:3]
+        codes_flat = jnp.moveaxis(codes, 0, 2).reshape(c_ * h_, b * n)
+        batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)[None, :]
+        codes_flat = bit_shift(
+            jnp.round(codes_flat).astype(jnp.int32),
+            jnp.broadcast_to(batch_idx, codes_flat.shape),
+        ).reshape(c_, h_, b * n)
+
+        prepared = (
+            xp.reshape(b * n, -1),
+            cp.reshape(b * n, -1),
+            codes_flat,
+            invalid.reshape(b * n),
+            None,
+            None,
+        )
+        out = model.apply(
+            variables,
+            prepared[0],
+            prepared[1],
+            valid.reshape(b * n),
+            deterministic=deterministic,
+            rngs=rngs,
+            prepared=prepared,
+        )
+        return out.reshape(b, n, -1)
+
+    return apply

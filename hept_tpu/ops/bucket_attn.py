@@ -266,6 +266,6 @@ def hept_attention_core_cols(
         denom, so = bucket_rbf_attention_cols_xla(sq, sk, sv, block_size)
 
     od = jnp.concatenate([so, denom], axis=1).reshape(c, h, dv + 1, n)
-    (od_unsorted,), _ = grouped_sort_carry([q_src], [od], pack=False)
+    (od_unsorted,), _ = grouped_sort_carry([q_src], [od], pack=sort_pack)
     o, logits = od_unsorted[:, :, :dv], od_unsorted[:, :, dv:]
     return stable_ratio(o.sum(axis=0), logits.sum(axis=0))
