@@ -71,6 +71,7 @@ def main():
         scan_layers=True,
         sort_pack=True,  # bf16-packed sort payloads (validated: converges
         # identically to f32 on this workload; see BASELINE.md round-1 notes)
+        sort_ops=8,  # 8 payload operands per sort call (less key traffic)
     )
     model = HeptTransformer(cfg)
     # IMPORTANT: the batch is passed to the jitted step as ARGUMENTS, never

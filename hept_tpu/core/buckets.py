@@ -177,52 +177,70 @@ def _u32_to_cols(rows: Array, d: int, pack: bool) -> Array:
     return jax.lax.bitcast_convert_type(rows, jnp.float32)
 
 
-def _grouped_sort_impl(keys_list, payload_list, pack):
+def _grouped_sort_impl(keys_list, payload_list, pack, n_ops=1):
     """ONE lax.sort call moving several column-payload groups, each ordered by
-    its own keys. See `grouped_sort_carry`."""
+    its own keys. See `grouped_sort_carry`.
+
+    n_ops > 1 spreads each group's rows over n_ops payload operands that
+    share ONE key operand (rows of a group all sort by the same keys), so the
+    duplicated-key traffic shrinks from 1x payload to 1/n_ops of it — at the
+    cost of sort-operand-count compile time (~5 s/operand on TPU, persisted
+    by the compilation cache)."""
     c, h, n = keys_list[0].shape
-    rows, key_rows, dims = [], [], []
+    chunks = [[] for _ in range(n_ops)]
+    key_rows, metas = [], []
     for keys, cols in zip(keys_list, payload_list):
         if cols.ndim == 3:
             cols = jnp.broadcast_to(cols[None], (c,) + cols.shape)
         u32, d = _cols_to_u32(cols, pack)
         iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.uint32), (c, h, 1, n))
-        rows += [u32, iota]
+        rows = jnp.concatenate([u32, iota], axis=2)
+        rg = rows.shape[2]
+        m = -(-rg // n_ops)
+        if m * n_ops != rg:
+            rows = jnp.pad(rows, [(0, 0), (0, 0), (0, m * n_ops - rg), (0, 0)])
+        rows = rows.reshape(c, h, m, n_ops, n)
+        for j in range(n_ops):
+            chunks[j].append(rows[:, :, :, j])
         key_rows.append(
-            jnp.broadcast_to(keys[:, :, None, :], (c, h, u32.shape[2] + 1, n)).astype(
+            jnp.broadcast_to(keys[:, :, None, :], (c, h, m, n)).astype(
                 keys_list[0].dtype
             )
         )
-        dims.append(d)
-    all_rows = jnp.concatenate(rows, axis=2)
+        metas.append((d, rg, m))
     all_keys = jnp.concatenate(key_rows, axis=2)
+    ops = [jnp.concatenate(ch, axis=2) for ch in chunks]
     # 2-D flatten around the sort: see _folded_sort for the TPU >=3-D
     # sort slow path this avoids.
-    flat = (all_rows.shape[0] * all_rows.shape[1] * all_rows.shape[2], n)
-    _, sorted_flat = jax.lax.sort(
-        [all_keys.reshape(flat), all_rows.reshape(flat)],
+    flat = (all_keys.shape[0] * all_keys.shape[1] * all_keys.shape[2], n)
+    sorted_ops = jax.lax.sort(
+        [all_keys.reshape(flat)] + [o.reshape(flat) for o in ops],
         dimension=-1, num_keys=1, is_stable=False,
-    )
-    sorted_rows = sorted_flat.reshape(all_rows.shape)
+    )[1:]
+    shape4 = all_keys.shape
+    sorted_ops = [o.reshape(shape4) for o in sorted_ops]
     outs, srcs, off = [], [], 0
-    for (keys, cols), d in zip(zip(keys_list, payload_list), dims):
-        D = d + (d % 2) if pack else d
-        D = D // 2 if pack else D
-        grp = sorted_rows[:, :, off : off + D]
-        srcs.append(sorted_rows[:, :, off + D].astype(jnp.int32))
-        outs.append(_u32_to_cols(grp, d, pack))
-        off += D + 1
+    for d, rg, m in metas:
+        grp = jnp.stack([o[:, :, off : off + m] for o in sorted_ops], axis=3)
+        grp = grp.reshape(c, h, m * n_ops, n)[:, :, :rg]
+        srcs.append(grp[:, :, -1].astype(jnp.int32))
+        outs.append(_u32_to_cols(grp[:, :, :-1], d, pack))
+        off += m
     return outs, srcs
 
 
-def _make_grouped_sort_carry(pack: bool, n_groups: int):
+def _make_grouped_sort_carry(pack: bool, n_groups: int, n_ops: int):
     @jax.custom_vjp
     def f(keys_tuple, payload_tuple):
-        outs, srcs = _grouped_sort_impl(list(keys_tuple), list(payload_tuple), pack)
+        outs, srcs = _grouped_sort_impl(
+            list(keys_tuple), list(payload_tuple), pack, n_ops
+        )
         return tuple(outs), tuple(srcs)
 
     def fwd(keys_tuple, payload_tuple):
-        outs, srcs = _grouped_sort_impl(list(keys_tuple), list(payload_tuple), pack)
+        outs, srcs = _grouped_sort_impl(
+            list(keys_tuple), list(payload_tuple), pack, n_ops
+        )
         was_3d = tuple(p.ndim == 3 for p in payload_tuple)
         return (tuple(outs), tuple(srcs)), (tuple(srcs), keys_tuple, was_3d)
 
@@ -231,7 +249,7 @@ def _make_grouped_sort_carry(pack: bool, n_groups: int):
         g_outs, _ = cotangents
         # sorted[s] = payload[src[s]] => d payload = unsort(g) = re-sort g on
         # src. All groups ride the SAME backward sort call.
-        gps, _ = _grouped_sort_impl(list(srcs), list(g_outs), pack)
+        gps, _ = _grouped_sort_impl(list(srcs), list(g_outs), pack, n_ops)
         gps = [g.sum(axis=0) if b3 else g for g, b3 in zip(gps, was_3d)]
         gks = tuple(
             _float0_zero(k)
@@ -248,7 +266,8 @@ def _make_grouped_sort_carry(pack: bool, n_groups: int):
 _grouped_sort_carry_cache: dict = {}
 
 
-def grouped_sort_carry(keys_list, payload_list, pack: bool = False):
+def grouped_sort_carry(keys_list, payload_list, pack: bool = False,
+                       n_ops: int = 1):
     """Sort several column-payload groups, each by its own keys, in ONE XLA
     sort call (each lax.sort costs ~75-85 ms on TPU regardless of size or
     payload width — the per-call latency, not bytes, is the budget).
@@ -259,6 +278,8 @@ def grouped_sort_carry(keys_list, payload_list, pack: bool = False):
       payload_list: matching list of (c, h, d_i, n) column payloads
         ((h, d_i, n) broadcasts over hashes).
       pack: move payloads as bf16 pairs (half the traffic, bf16 rounding).
+      n_ops: payload operands per sort call (keys duplicated 1/n_ops as much;
+        compile time grows ~5 s/operand, cached persistently).
     Returns:
       (sorted_payloads, srcs): column payloads reordered per group and the
       (c, h, n) source index of each group (original row now at slot s) —
@@ -267,7 +288,7 @@ def grouped_sort_carry(keys_list, payload_list, pack: bool = False):
     The custom VJP re-applies the inverse permutations with one backward
     sort call (no scatter-invert, no gathers).
     """
-    key = (bool(pack), len(keys_list))
+    key = (bool(pack), len(keys_list), int(n_ops))
     fn = _grouped_sort_carry_cache.get(key)
     if fn is None:
         fn = _make_grouped_sort_carry(*key)

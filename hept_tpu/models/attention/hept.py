@@ -60,6 +60,7 @@ class HeptAttention(nn.Module):
     coords_dim: int
     impl: str = "xla"  # "xla" | "pallas"
     sort_pack: bool = False  # move sort payloads as bf16 pairs (fast mode)
+    sort_ops: int = 1  # payload operands per sort call (less key traffic)
 
     @nn.compact
     def __call__(self, query, key, value, *, coords, codes, w_rpe_weight,
@@ -115,6 +116,7 @@ class HeptAttention(nn.Module):
             block_size=self.block_size,
             impl=self.impl,
             sort_pack=self.sort_pack,
+            sort_ops=self.sort_ops,
         )  # (h, d, n)
         out = out.reshape(h * d, n).T
         return TorchLinear(d, name="out_linear")(out)

@@ -48,6 +48,7 @@ class TransformerConfig:
     padding_mode: str = "zero"  # "zero" (src parity) | "replicate" (example)
     attn_impl: str = "xla"  # "xla" | "pallas"
     sort_pack: bool = False  # bf16-packed sort payloads in HEPT attention
+    sort_ops: int = 1  # payload operands per sort call (see grouped_sort_carry)
     num_classes: int = 1  # pileup head width
     # baseline-attention knobs (reference configs/*)
     pe_type: str = "none"  # none | learned | fixed
@@ -121,6 +122,7 @@ def _make_attention(cfg: TransformerConfig):
             coords_dim=cfg.coords_dim,
             impl=cfg.attn_impl,
             sort_pack=cfg.sort_pack,
+            sort_ops=cfg.sort_ops,
             **common,
         )
     if cfg.attn_type == "performer":

@@ -197,7 +197,7 @@ def bucket_rbf_attention_cols_xla(sq: Array, sk: Array, sv: Array, block_size: i
     return denom.reshape(r, 1, n), so.reshape(r, dv, n)
 
 
-@partial(jax.jit, static_argnames=("block_size", "impl", "sort_pack"))
+@partial(jax.jit, static_argnames=("block_size", "impl", "sort_pack", "sort_ops"))
 def hept_attention_core_cols(
     q_hat: Array,
     k_hat: Array,
@@ -209,6 +209,7 @@ def hept_attention_core_cols(
     block_size: int,
     impl: str = "xla",
     sort_pack: bool = False,
+    sort_ops: int = 1,
 ) -> Array:
     """Column-major HEPT attention pipeline (the TPU hot path).
 
@@ -252,7 +253,7 @@ def hept_attention_core_cols(
     (sq, skv), (q_src, _) = grouped_sort_carry(
         [q_key, k_key],
         [q_hat, jnp.concatenate([k_hat, v], axis=1)],
-        pack=sort_pack,
+        pack=sort_pack, n_ops=sort_ops,
     )
     sq = sq.reshape(c * h, d_hash, n)
     sk = skv[:, :, :d_hash].reshape(c * h, d_hash, n)
@@ -266,6 +267,7 @@ def hept_attention_core_cols(
         denom, so = bucket_rbf_attention_cols_xla(sq, sk, sv, block_size)
 
     od = jnp.concatenate([so, denom], axis=1).reshape(c, h, dv + 1, n)
-    (od_unsorted,), _ = grouped_sort_carry([q_src], [od], pack=sort_pack)
+    (od_unsorted,), _ = grouped_sort_carry([q_src], [od], pack=sort_pack,
+                                           n_ops=sort_ops)
     o, logits = od_unsorted[:, :, :dv], od_unsorted[:, :, dv:]
     return stable_ratio(o.sum(axis=0), logits.sum(axis=0))

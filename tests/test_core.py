@@ -235,3 +235,38 @@ class TestPackedSortCarry:
         np.testing.assert_allclose(
             np.asarray(g), 2 * c * np.asarray(payload), rtol=3e-2, atol=3e-2
         )
+
+
+def test_grouped_sort_n_ops_equivalence():
+    """Chunked-operand sorts must produce identical results to 1-op sorts."""
+    import numpy as np
+
+    from hept_tpu.core.buckets import grouped_sort_carry
+
+    rng = np.random.default_rng(5)
+    c, h, n = 2, 3, 64
+    k1 = jnp.asarray(rng.normal(size=(c, h, n)).astype(np.float32))
+    k2 = jnp.asarray(rng.normal(size=(c, h, n)).astype(np.float32))
+    p1 = jnp.asarray(rng.normal(size=(c, h, 7, n)).astype(np.float32))
+    p2 = jnp.asarray(rng.normal(size=(h, 5, n)).astype(np.float32))
+
+    (a1, a2), (s1, s2) = grouped_sort_carry([k1, k2], [p1, p2])
+    (b1, b2), (t1, t2) = grouped_sort_carry([k1, k2], [p1, p2], n_ops=4)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(s2), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(b1))
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
+
+    # grads through the chunked variant
+    def loss(p1, p2):
+        (o1, o2), _ = grouped_sort_carry([k1, k2], [p1, p2], n_ops=4)
+        return jnp.sum(o1**2) + jnp.sum(o2**2)
+
+    def loss1(p1, p2):
+        (o1, o2), _ = grouped_sort_carry([k1, k2], [p1, p2])
+        return jnp.sum(o1**2) + jnp.sum(o2**2)
+
+    g4 = jax.grad(loss, argnums=(0, 1))(p1, p2)
+    g1 = jax.grad(loss1, argnums=(0, 1))(p1, p2)
+    for a, b in zip(g1, g4):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
