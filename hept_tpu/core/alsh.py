@@ -4,9 +4,8 @@ Rebuilds the live and near-live parts of the reference's LSH utility library
 (`src/models/model_utils/hash_utils.py:96-326`). Only `XBOXPLUS` sits on a hot
 path (SMYRF clustering; implemented alongside its consumer in
 models/attention/smyrf.py); the remaining transforms are provided for API
-parity as pure functions. Hash families that the reference ships but never
-calls (VoronoiLSH/CrossPolytopeLSH/QLSH duplicates, H2LSH) are represented by
-the two genuinely distinct constructions below.
+parity as pure functions, including the families the reference ships but
+never calls (Voronoi/cross-polytope LSH, H2-ALSH, QLSH).
 """
 
 from __future__ import annotations
@@ -124,3 +123,33 @@ def inversion_number(x: Array, y: Array) -> Array:
     less_x = rx[:, None] < rx[None, :]
     less_y = ry[:, None] < ry[None, :]
     return jnp.sum(jnp.triu(less_x ^ less_y, k=1))
+
+
+def h2lsh_k(vec: Array) -> Array:
+    """H2-ALSH key transform (hash_utils.py:258-270): scale all keys by the
+    global max norm, append sqrt(M^2 - |x|^2) so all transformed keys share
+    one norm."""
+    norms = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+    m = jnp.max(norms)
+    ext = jnp.sqrt(jnp.maximum(m**2 - norms**2, 0.0))
+    return jnp.concatenate([vec, ext], axis=-1)
+
+
+def h2lsh_q(vec: Array) -> Array:
+    """H2-ALSH query transform (hash_utils.py:272-276): unit-normalize and
+    zero-extend (queries gain no norm column)."""
+    norms = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+    x = vec / jnp.maximum(norms, 1e-12)
+    return jnp.concatenate([x, jnp.zeros_like(x[..., :1])], axis=-1)
+
+
+def qlsh_project(key: jax.Array, q: Array, k: Array, n_hashes: int, r: float = 1.0):
+    """QLSH (hash_utils.py:353-373): query-centric E2LSH — both sides project
+    on shared directions; keys quantize relative to each query's offset.
+    Returns (q_proj, k_bucket) with k_bucket = floor((k·a - q·a)/r) per hash."""
+    d = q.shape[-1]
+    a = jax.random.normal(key, (d, n_hashes), q.dtype)
+    qp = q @ a  # (nq, n_hashes)
+    kp = k @ a  # (nk, n_hashes)
+    rel = kp[None, :, :] - qp[:, None, :]
+    return qp, jnp.floor(rel / r).astype(jnp.int32)

@@ -102,3 +102,37 @@ def test_inversion_number():
     x = jnp.asarray([1.0, 2.0, 3.0])
     assert int(inversion_number(x, x)) == 0
     assert int(inversion_number(x, -x)) == 3  # fully reversed: C(3,2)
+
+
+def test_h2lsh_transforms():
+    import numpy as np
+
+    from hept_tpu.core.alsh import h2lsh_k, h2lsh_q
+
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.normal(size=(32, 6)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(8, 6)).astype(np.float32))
+    kt, qt = h2lsh_k(k), h2lsh_q(q)
+    assert kt.shape == (32, 7) and qt.shape == (8, 7)
+    # all transformed keys share the max norm; queries are unit-norm
+    norms = np.linalg.norm(np.asarray(kt), axis=-1)
+    np.testing.assert_allclose(norms, norms.max(), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(qt), axis=-1), 1.0, rtol=1e-5
+    )
+
+
+def test_qlsh_buckets_shift_invariant():
+    import numpy as np
+
+    from hept_tpu.core.alsh import qlsh_project
+
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(4, 5)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(16, 5)).astype(np.float32))
+    qp, kb = qlsh_project(jax.random.PRNGKey(0), q, k, n_hashes=3, r=0.5)
+    assert qp.shape == (4, 3) and kb.shape == (4, 16, 3)
+    # identical key/query pairs land in bucket 0
+    _, kb_same = qlsh_project(jax.random.PRNGKey(0), q, q, n_hashes=3, r=0.5)
+    diag = np.asarray(kb_same)[np.arange(4), np.arange(4)]
+    assert (diag == 0).all()
