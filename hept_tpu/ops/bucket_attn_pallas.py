@@ -244,11 +244,21 @@ def _pick_group(nb: int, cap: int = 8) -> int:
     """Buckets per grid step: largest divisor of nb <= cap that satisfies the
     Pallas TPU block rule for the (nb-)dim — divisible by 8, or the whole
     axis. cap=8 keeps the unrolled per-bucket temporaries (Mosaic does not
-    reuse them across unrolled iterations) within scoped VMEM."""
+    reuse them across unrolled iterations) within scoped VMEM. Callers pad
+    nb with `_pad_buckets` when no such divisor exists (e.g. nb=60)."""
     for g in range(min(cap, nb), 0, -1):
         if nb % g == 0 and (g % 8 == 0 or g == nb):
             return g
-    return nb
+    return 0
+
+
+def _pad_buckets(x4, nb_pad):
+    """Zero-pad the bucket axis of (r, d, nb, bs) to nb_pad buckets (padded
+    buckets compute garbage that callers slice away)."""
+    pad = nb_pad - x4.shape[2]
+    if pad == 0:
+        return x4
+    return jnp.pad(x4, [(0, 0), (0, 0), (0, pad), (0, 0)])
 
 
 def _fwd_cols_kernel(q_ref, k_ref, v_ref, denom_ref, so_ref, *, g: int):
@@ -348,11 +358,13 @@ def _fwd_cols_impl(sq: Array, sk: Array, sv: Array, bs: int):
     dv = sv.shape[1]
     nb = n // bs
     g = _pick_group(nb)
-    grid = (r, nb // g)
+    nb_pad = nb if g else -(-nb // 8) * 8
+    g = g or _pick_group(nb_pad)
+    grid = (r, nb_pad // g)
     kernel = functools.partial(_fwd_cols_kernel, g=g)
-    sq = sq.reshape(r, d, nb, bs)
-    sk = sk.reshape(r, d, nb, bs)
-    sv = sv.reshape(r, dv, nb, bs)
+    sq = _pad_buckets(sq.reshape(r, d, nb, bs), nb_pad)
+    sk = _pad_buckets(sk.reshape(r, d, nb, bs), nb_pad)
+    sv = _pad_buckets(sv.reshape(r, dv, nb, bs), nb_pad)
     denom, so = pl.pallas_call(
         kernel,
         grid=grid,
@@ -366,8 +378,8 @@ def _fwd_cols_impl(sq: Array, sk: Array, sv: Array, bs: int):
             pl.BlockSpec((1, dv, g, bs), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((r, 1, nb, bs), jnp.float32),
-            jax.ShapeDtypeStruct((r, dv, nb, bs), jnp.float32),
+            jax.ShapeDtypeStruct((r, 1, nb_pad, bs), jnp.float32),
+            jax.ShapeDtypeStruct((r, dv, nb_pad, bs), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=r * nb * 2 * bs * bs * (d + dv),
@@ -375,7 +387,10 @@ def _fwd_cols_impl(sq: Array, sk: Array, sv: Array, bs: int):
             transcendentals=r * n * bs,
         ),
     )(sq, sk, sv)
-    return denom.reshape(r, 1, n), so.reshape(r, dv, n)
+    return (
+        denom[:, :, :nb].reshape(r, 1, n),
+        so[:, :, :nb].reshape(r, dv, n),
+    )
 
 
 def _bwd_cols_impl(residuals, grads, bs):
@@ -385,13 +400,15 @@ def _bwd_cols_impl(residuals, grads, bs):
     dv = sv.shape[1]
     nb = n // bs
     g = _pick_group(nb)
-    grid = (r, nb // g)
+    nb_pad = nb if g else -(-nb // 8) * 8
+    g = g or _pick_group(nb_pad)
+    grid = (r, nb_pad // g)
     kernel = functools.partial(_bwd_cols_kernel, g=g)
-    sq = sq.reshape(r, d, nb, bs)
-    sk = sk.reshape(r, d, nb, bs)
-    sv = sv.reshape(r, dv, nb, bs)
-    g_so = g_so.reshape(r, dv, nb, bs)
-    g_denom = g_denom.reshape(r, 1, nb, bs)
+    sq = _pad_buckets(sq.reshape(r, d, nb, bs), nb_pad)
+    sk = _pad_buckets(sk.reshape(r, d, nb, bs), nb_pad)
+    sv = _pad_buckets(sv.reshape(r, dv, nb, bs), nb_pad)
+    g_so = _pad_buckets(g_so.reshape(r, dv, nb, bs), nb_pad)
+    g_denom = _pad_buckets(g_denom.reshape(r, 1, nb, bs), nb_pad)
     dq, dk, dv_out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -408,9 +425,9 @@ def _bwd_cols_impl(residuals, grads, bs):
             pl.BlockSpec((1, dv, g, bs), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((r, d, nb, bs), jnp.float32),
-            jax.ShapeDtypeStruct((r, d, nb, bs), jnp.float32),
-            jax.ShapeDtypeStruct((r, dv, nb, bs), jnp.float32),
+            jax.ShapeDtypeStruct((r, d, nb_pad, bs), jnp.float32),
+            jax.ShapeDtypeStruct((r, d, nb_pad, bs), jnp.float32),
+            jax.ShapeDtypeStruct((r, dv, nb_pad, bs), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=r * nb * 2 * bs * bs * (3 * d + 2 * dv),
@@ -418,4 +435,8 @@ def _bwd_cols_impl(residuals, grads, bs):
             transcendentals=r * n * bs,
         ),
     )(sq, sk, sv, g_so, g_denom)
-    return dq.reshape(r, d, n), dk.reshape(r, d, n), dv_out.reshape(r, dv, n)
+    return (
+        dq[:, :, :nb].reshape(r, d, n),
+        dk[:, :, :nb].reshape(r, d, n),
+        dv_out[:, :, :nb].reshape(r, dv, n),
+    )

@@ -72,6 +72,37 @@ def make_dp_train_step(
     return jitted
 
 
+def make_single_device_train_step(model_apply, loss_fn, tx):
+    """Plain-jit train step for n_devices == 1 — same math as
+    `make_dp_train_step` without the mesh/NamedSharding wrapper (which buys
+    nothing on one chip and trips some remote backends' AOT compilers)."""
+
+    @jax.jit
+    def step(state: TrainState, batch):
+        rng, new_rng = jax.random.split(state.rng)
+
+        def loss_of(params):
+            outputs = model_apply(
+                {"params": params, "constants": state.constants},
+                batch,
+                rngs={"dropout": rng},
+            )
+            return loss_fn(outputs, batch)
+
+        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            rng=new_rng,
+        )
+        return new_state, {"loss": loss, "grad_norm": optax_global_norm(grads)}
+
+    return step
+
+
 def optax_global_norm(tree):
     leaves = jax.tree_util.tree_leaves(tree)
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))

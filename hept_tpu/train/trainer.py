@@ -18,7 +18,11 @@ import numpy as np
 
 from ..data.datasets import SplitDataset, get_dataset
 from ..models.transformer import HeptTransformer
-from ..parallel.dp import make_dp_train_step, shard_batch
+from ..parallel.dp import (
+    make_dp_train_step,
+    make_single_device_train_step,
+    shard_batch,
+)
 from ..parallel.mesh import make_mesh
 from ..train.config import ExperimentConfig
 from ..train.losses import focal_loss, infonce_loss
@@ -271,9 +275,16 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
         # largest device count that evenly divides the event batch
         avail = len(jax.devices())
         n_dev = max(d for d in range(1, avail + 1) if cfg.batch_size % d == 0)
-    mesh = make_mesh(n_dev)
     loss_fn = make_loss_fn(cfg)
-    train_step = make_dp_train_step(model_apply, loss_fn, tx, mesh, donate=False)
+    if n_dev == 1:
+        # Plain jit on one device: the mesh/NamedSharding wrapper buys
+        # nothing and some remote backends fail to AOT-compile the sharded
+        # module (axon remote_compile HTTP 500 on single-chip meshes).
+        mesh = None
+        train_step = make_single_device_train_step(model_apply, loss_fn, tx)
+    else:
+        mesh = make_mesh(n_dev)
+        train_step = make_dp_train_step(model_apply, loss_fn, tx, mesh, donate=False)
 
     run_dir = Path(cfg.log_dir) / f"{cfg.task}_{cfg.model_name}_{cfg.seed}_{cfg.note}"
     logger = ScalarLogger(run_dir)
@@ -304,7 +315,9 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
             "train", cfg.batch_size, block_size, n_max=n_max, e_max=e_max or None,
             shuffle_rng=data_rng,
         )
-        for sb in prefetch(batches, transfer=lambda b: shard_batch(b, mesh)):
+        transfer = (lambda b: shard_batch(b, mesh)) if mesh is not None else (
+            lambda b: jax.tree_util.tree_map(jnp.asarray, b))
+        for sb in prefetch(batches, transfer=transfer):
             state, metrics = train_step(state, sb)
             epoch_losses.append(float(metrics["loss"]))
 

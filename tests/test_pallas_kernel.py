@@ -93,6 +93,8 @@ class TestColsKernels:
     (interpret mode on CPU; real hardware via bench.py)."""
 
     def _data(self, r=4, d=6, dv=5, nb=10, bs=8):
+        # nb=10 exercises the pad-to-multiple-of-8 bucket path (no divisor
+        # of 10 is a multiple of 8)
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
         n = nb * bs
         return (
