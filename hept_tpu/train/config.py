@@ -60,6 +60,11 @@ class ExperimentConfig:
     attn_impl: str = "pallas"
     padding_mode: str = "replicate"
     n_devices: Optional[int] = None  # DP width; None = all
+    # "vmap": dense per-event vmap; "flat": concatenate the event batch into
+    # one forward with batch-index AND codes (reference example design) —
+    # much faster for small events, where the per-sort-call latency floor
+    # dominates. HEPT only.
+    batch_mode: str = "vmap"
 
     def model_config(self, in_dim: int, coords_dim: int) -> TransformerConfig:
         kw = dict(self.model_kwargs)

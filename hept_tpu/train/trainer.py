@@ -106,8 +106,20 @@ def build_model(cfg: ExperimentConfig, in_dim: int, coords_dim: int):
     return HeptTransformer(mc), mc
 
 
-def make_model_apply(model, model_cfg=None):
+def make_model_apply(model, model_cfg=None, batch_mode: str = "vmap"):
     is_gnn = model.__class__.__name__ == "GNNStack"
+    if batch_mode == "flat" and not is_gnn             and getattr(model.cfg, "attn_type", None) == "hept":
+        from ..models.transformer import make_flat_batched_apply
+
+        flat = make_flat_batched_apply(model)
+
+        def model_apply_flat(variables, batch, rngs=None):
+            return flat(
+                variables, batch["x"], batch["coords"], batch["valid"],
+                deterministic=rngs is None, rngs=rngs,
+            )
+
+        return model_apply_flat
 
     def gnn_graph(coords, valid):
         """in-jit kNN graph + RBF edge weights on eta/phi (the datasets'
@@ -222,7 +234,7 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
     )
 
     model, model_cfg = build_model(cfg, dataset.in_dim, dataset.coords_dim)
-    model_apply = make_model_apply(model, model_cfg)
+    model_apply = make_model_apply(model, model_cfg, batch_mode=cfg.batch_mode)
 
     # init on one event (through model_apply so GNN graphs are built too)
     ev0 = dataset.train[0]
