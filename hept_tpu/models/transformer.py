@@ -7,9 +7,10 @@ projection → 5-layer tanh/LayerNorm MLP residual head → task head (pileup:
 PID embedding at input, sigmoid out_proj at output).
 
 The model is defined on ONE event with static shapes; batched imbalanced
-point clouds are handled TPU-style by `make_batched_apply` (vmap over a dense
-(B, N_max, ...) layout) instead of the reference's flat ragged concatenation
-with batch-index AND codes — same capability, regular shapes.
+point clouds are handled two TPU-style ways: `make_batched_apply` (vmap over
+a dense (B, N_max, ...) layout) and `make_flat_batched_apply` (one flat
+forward with batch-index AND codes — the reference example's design, and the
+fast path for small events where per-sort-call latency dominates).
 """
 
 from __future__ import annotations
