@@ -106,6 +106,31 @@ def acc_and_pr_at_k(
     return mean(acc), mean(prec), mean(recall)
 
 
+@partial(jax.jit, static_argnames=("k", "tile"))
+def tracking_metrics_batch(embeddings, cluster_ids, recons, pts, valid,
+                           k: int = 19, tile: int = 2048):
+    """Batched retrieval metrics over a (B, N, ·) event batch for all three
+    pt thresholds in ONE device call (per-event per-threshold dispatch costs
+    a tunnel round-trip each — 24 calls/batch dominated eval wall time).
+
+    Returns (B, 3 thresholds, 3 metrics) with metrics ordered
+    (accuracy, precision, recall) and thresholds (0, 0.5, 0.9)."""
+
+    def per_event(emb, cid, rec, pt, val):
+        rows = []
+        for thres in (0.0, 0.5, 0.9):
+            mask = point_filter(cid, rec, pt, thres) & val
+            acc, prec, recall, include = _knn_retrieval_scores(
+                emb, cid, mask, val, k=k, tile=tile
+            )
+            denom = jnp.maximum(jnp.sum(include), 1)
+            m = lambda x: jnp.sum(jnp.where(include, x, 0.0)) / denom
+            rows.append(jnp.stack([m(acc), m(prec), m(recall)]))
+        return jnp.stack(rows)
+
+    return jax.vmap(per_event)(embeddings, cluster_ids, recons, pts, valid)
+
+
 def node_classification_accuracy(pred, target, mask):
     """Masked accuracy (reference metrics.py:96-100)."""
     import jax.numpy as _jnp

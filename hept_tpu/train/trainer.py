@@ -30,6 +30,7 @@ from ..train.metrics import (
     acc_and_pr_at_k,
     binary_classification_metrics,
     point_filter,
+    tracking_metrics_batch,
 )
 from ..train.optim import PlateauState, apply_plateau_scale, make_lr_schedule, make_optimizer
 from ..train.state import CheckpointManager, TrainState
@@ -182,15 +183,14 @@ def evaluate(cfg, model_apply, variables, dataset: SplitDataset, split: str,
             jb = jax.tree_util.tree_map(jnp.asarray, batch)
             out = eval_apply(variables, jb)
             losses.append(float(loss_fn(out, jb)))
-            for i in range(out.shape[0]):
-                cid = jb["cluster_ids"][i]
-                valid = jb["valid"][i]
-                for thres in (0.0, 0.5, 0.9):
-                    mask = point_filter(cid, jb["recons"][i], jb["pts"][i], thres) & valid
-                    a, p, r = acc_and_pr_at_k(out[i], cid, mask, valid=valid)
-                    accs[thres].append(a)
-                    precs[thres].append(p)
-                    recs[thres].append(r)
+            tm = np.asarray(tracking_metrics_batch(
+                out, jb["cluster_ids"], jb["recons"], jb["pts"], jb["valid"]
+            ))  # (B, 3 thresholds, 3 metrics) in one device call
+            for bi in range(tm.shape[0]):
+                for ti, thres in enumerate((0.0, 0.5, 0.9)):
+                    accs[thres].append(tm[bi, ti, 0])
+                    precs[thres].append(tm[bi, ti, 1])
+                    recs[thres].append(tm[bi, ti, 2])
         res = {"loss": float(np.mean(losses)) if losses else float("nan")}
         for thres in (0.0, 0.5, 0.9):
             res[f"accuracy@{thres:g}"] = float(np.mean(accs[thres]))

@@ -123,3 +123,29 @@ class TestBinaryMetrics:
         assert 0.5 < m["auc"] <= 1.0
         assert 0.5 < m["roc"] <= 1.0
         assert 0 < m["f1"] <= 1.0
+
+
+def test_tracking_metrics_batch_matches_per_event():
+    """The batched one-call metric must reproduce per-event acc_and_pr_at_k."""
+    import numpy as np
+
+    from hept_tpu.train.metrics import (
+        acc_and_pr_at_k,
+        point_filter,
+        tracking_metrics_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    B, N, D = 2, 96, 6
+    emb = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+    cid = jnp.asarray(rng.integers(0, 12, size=(B, N)).astype(np.int32))
+    rec = jnp.asarray(rng.integers(0, 2, size=(B, N)).astype(np.int32))
+    pts = jnp.asarray(rng.random((B, N)).astype(np.float32) * 2)
+    valid = jnp.asarray(rng.random((B, N)) > 0.1)
+
+    tm = np.asarray(tracking_metrics_batch(emb, cid, rec, pts, valid))
+    for bi in range(B):
+        for ti, thres in enumerate((0.0, 0.5, 0.9)):
+            mask = point_filter(cid[bi], rec[bi], pts[bi], thres) & valid[bi]
+            a, p, r = acc_and_pr_at_k(emb[bi], cid[bi], mask, valid=valid[bi])
+            np.testing.assert_allclose(tm[bi, ti], [a, p, r], rtol=1e-5, atol=1e-6)
