@@ -3,6 +3,7 @@ from .regions import get_regions, quantile_partition, region_codes
 from .buckets import (
     bit_shift,
     invert_permutation,
+    grouped_sort_carry,
     sort_to_buckets,
     unsort_from_buckets,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "region_codes",
     "bit_shift",
     "invert_permutation",
+    "grouped_sort_carry",
     "sort_to_buckets",
     "unsort_from_buckets",
     "pad_to_multiple",

@@ -1,5 +1,12 @@
 from .mlp import TorchLinear, OutMLP
-from .transformer import HeptTransformer, TransformerConfig, make_batched_apply
+from .transformer import (
+    HeptTransformer,
+    TransformerConfig,
+    make_batched_apply,
+    make_flat_batched_apply,
+    stack_layer_params,
+    unstack_layer_params,
+)
 
 __all__ = [
     "TorchLinear",
@@ -7,4 +14,7 @@ __all__ = [
     "HeptTransformer",
     "TransformerConfig",
     "make_batched_apply",
+    "make_flat_batched_apply",
+    "stack_layer_params",
+    "unstack_layer_params",
 ]
