@@ -15,8 +15,12 @@ Feature/coordinate layout parity:
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 from scipy.spatial import cKDTree
+
+_PAIRS_BACKEND_LOGGED = False
 
 from .batching import Event
 
@@ -92,9 +96,19 @@ def synthetic_tracking_event(
 def _radius_pairs(eta, phi, radius, k, rng):
     """Supervision pairs: up to k neighbours within `radius` per point
     (the role of reference tracking.py:204-209's radius-graph pairs).
-    Uses the native C++ grid-hash builder when available, else cKDTree."""
+    Uses the native C++ grid-hash builder when available, else cKDTree.
+    The two backends can produce different pair sets (the native kernel
+    returns all in-radius pairs; cKDTree is kNN-capped), so the chosen
+    backend is logged once for reproducibility."""
     from .. import native
 
+    global _PAIRS_BACKEND_LOGGED
+    backend = "native-grid-hash" if native.native_available() else "cKDTree-knn-capped"
+    if not _PAIRS_BACKEND_LOGGED:
+        logging.getLogger(__name__).info(
+            "synthetic supervision pairs backend: %s", backend
+        )
+        _PAIRS_BACKEND_LOGGED = True
     if native.native_available():
         return native.radius_pairs(
             np.asarray(eta, np.float32), np.asarray(phi, np.float32), radius, k

@@ -530,6 +530,15 @@ def make_flat_batched_apply(model: HeptTransformer):
     """
     cfg = model.cfg
     assert cfg.attn_type == "hept", "flat batching targets the HEPT path"
+    # zero-mode pads sort to the GLOBAL end of the flat order (key=+BIG,
+    # no batch code), so events whose real count is not a multiple of
+    # block_size would leave non-bucket-aligned spans and one bucket would
+    # mix points from two events (cross-event attention leakage). Only
+    # replicate-mode pads keep each event's span bucket-aligned within its
+    # own batch-code range.
+    assert cfg.padding_mode == "replicate", (
+        "flat batching requires padding_mode='replicate'"
+    )
 
     def apply(variables, x, coords, valid, *, deterministic=True, rngs=None):
         b, n = x.shape[:2]

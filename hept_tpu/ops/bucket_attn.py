@@ -267,7 +267,10 @@ def hept_attention_core_cols(
         denom, so = bucket_rbf_attention_cols_xla(sq, sk, sv, block_size)
 
     od = jnp.concatenate([so, denom], axis=1).reshape(c, h, dv + 1, n)
-    (od_unsorted,), _ = grouped_sort_carry([q_src], [od], pack=sort_pack,
+    # The unsort stays f32 even when sort_pack: numerator/denominator are
+    # the OR-combine accumulands and bf16 rounding there costs accuracy for
+    # negligible time (same rationale as the row-major path above).
+    (od_unsorted,), _ = grouped_sort_carry([q_src], [od], pack=False,
                                            n_ops=sort_ops)
     o, logits = od_unsorted[:, :, :dv], od_unsorted[:, :, dv:]
     return stable_ratio(o.sum(axis=0), logits.sum(axis=0))

@@ -102,9 +102,13 @@ class PlateauState:
     factor: float = 0.5
     patience: int = 20
     mode: str = "min"
-    best: float = math.inf
+    best: float = math.nan
     bad_epochs: int = 0
     scale: float = 1.0
+
+    def __post_init__(self):
+        if math.isnan(self.best):
+            self.best = math.inf if self.mode == "min" else -math.inf
 
     def update(self, metric: float) -> float:
         improved = metric < self.best if self.mode == "min" else metric > self.best

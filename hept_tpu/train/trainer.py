@@ -198,19 +198,21 @@ def evaluate(cfg, model_apply, variables, dataset: SplitDataset, split: str,
             res[f"recall@{thres:g}"] = float(np.mean(recs[thres]))
         return res
 
-    # pileup
-    probs, targets, losses = [], [], []
+    # pileup: per-batch metrics averaged across batches (reference parity —
+    # pileup_trainer.py update_metrics feeds per-batch AP/ROC/F1 into
+    # MeanMetric and reports the mean, not the micro-average).
+    per_batch, losses = [], []
     loss_fn = make_loss_fn(cfg)
     for batch in dataset.iter_batches(split, cfg.batch_size, block_size, n_max=n_max):
         jb = jax.tree_util.tree_map(jnp.asarray, batch)
         out = eval_apply(variables, jb)
         losses.append(float(loss_fn(out, jb)))
         mask = np.asarray(jb["is_neu"] & jb["valid"])
-        probs.append(np.asarray(out[..., 0])[mask])
-        targets.append(np.asarray(jb["y"])[mask])
-    res = binary_classification_metrics(
-        np.concatenate(probs), np.concatenate(targets)
-    )
+        p, t = np.asarray(out[..., 0])[mask], np.asarray(jb["y"])[mask]
+        if t.size and t.min() != t.max():  # degenerate batches carry no AUC
+            per_batch.append(binary_classification_metrics(p, t))
+    keys = per_batch[0].keys() if per_batch else ()
+    res = {k: float(np.mean([m[k] for m in per_batch])) for k in keys}
     res["loss"] = float(np.mean(losses)) if losses else float("nan")
     return res
 
@@ -361,6 +363,7 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
         log(
             f"epoch {epoch}: train_loss={train_loss:.4f} "
             f"valid[{cfg.main_metric}]={score:.4f} best={best:.4f}"
+            + (f" lr_scale={plateau.scale:g}" if plateau is not None else "")
         )
 
     ckpt.close()
