@@ -29,6 +29,13 @@ class ReformerAttention(nn.Module):
     num_heads: int
     bucket_size: int
     n_hashes: int
+    # Reference reformer.py:74-76 defaults: duplicate (q,k) pairs across hash
+    # rounds are NOT corrected and buckets of different ids that share a
+    # sorted block DO attend. Setting allow_duplicate_attention=False enables
+    # the count-based down-weighting of reference reformer.py:266-285;
+    # attend_across_buckets=False enables the bucket-id mask of lines 250-259.
+    allow_duplicate_attention: bool = True
+    attend_across_buckets: bool = True
 
     @nn.compact
     def __call__(self, qk, key, value, *, valid, **_):
@@ -93,6 +100,48 @@ class ReformerAttention(nn.Module):
         # mask self-attention (qk == key index) to -5e4
         self_mask = sperm[..., :, None] == skidx[..., None, :, 0]
         inner = jnp.where(self_mask, TOKEN_SELF_ATTN_VALUE, inner)
+
+        if not self.attend_across_buckets:
+            # mask attention to keys whose bucket id differs from the query's
+            # (reference reformer.py:250-259): blocks are rank-partitioned, so
+            # a sorted block can straddle two bucket ids.
+            sbuckets = gather(buckets.transpose(1, 2, 0), perm)
+            # (c, h, n, c): per round's sort, every round's bucket ids; pick
+            # each round's own column
+            own = jnp.take_along_axis(
+                sbuckets, jnp.arange(c)[:, None, None, None], axis=-1
+            ).reshape(c, h, n_buckets, bs)
+            bq_b = own[..., :, None]
+            bkv_b = look_one_back(own.reshape(c, h, n_buckets, bs, 1))[..., 0]
+            inner = jnp.where(
+                bq_b != bkv_b[..., None, :], MASKED_VALUE, inner
+            )
+
+        if not self.allow_duplicate_attention:
+            # Count how many hash rounds each (q, k) pair co-attends in and
+            # down-weight its log-prob by log(count) so OR-combination does
+            # not double-count (reference reformer.py:261-285). A pair meets
+            # in round r if q's rank-bucket equals k's, or equals k's + 1
+            # (k visible through look-one-back).
+            locs1 = jnp.swapaxes(perm_inv // bs, 0, 1).transpose(0, 2, 1)
+            # locs1: (h, n, c) rank-bucket of each point in each round
+            locs2 = (locs1 + 1) % n_buckets
+            if not self.attend_across_buckets:
+                bb = jnp.swapaxes(buckets, 0, 1).transpose(0, 2, 1)  # (h,n,c)
+                locs1 = bb * n_buckets + locs1
+                locs2 = bb * n_buckets + locs2
+            locs = jnp.concatenate([locs1, locs2], axis=-1)  # (h, n, 2c)
+            slocs = gather(locs, perm).reshape(c, h, n_buckets, bs, 2 * c)
+            bkv_locs = look_one_back(slocs)  # (c, h, nb, 2bs, 2c)
+            # chunked over rounds to avoid a (.., bs, 2bs, 2c) bool blow-up
+            # (reference chunked_sum, reformer.py:282)
+            dup = jnp.zeros(inner.shape, jnp.float32)
+            for r in range(2 * c):
+                q_r = slocs[..., r % c][..., :, None]  # q locs1 tiled (2 nh)
+                k_r = bkv_locs[..., r][..., None, :]
+                dup = dup + (q_r == k_r).astype(jnp.float32)
+            dup = jax.lax.stop_gradient(dup)
+            inner = inner - jnp.log(dup + 1e-9)
 
         lse = jax.nn.logsumexp(inner, axis=-1, keepdims=True)
         dots = jnp.exp(inner - lse)

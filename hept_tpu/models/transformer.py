@@ -57,6 +57,10 @@ class TransformerConfig:
     nb_features: int = 200  # performer / flt outer features
     nb_features_inner: int = 6  # flt inner RFF features
     bucket_size: int = 100  # reformer / smyrf cluster size
+    # reformer duplicate-pair / cross-bucket controls (reference
+    # reformer.py:74-76 defaults)
+    allow_duplicate_attention: bool = True
+    attend_across_buckets: bool = True
     knn_k: int = 16  # pct/gnn in-jit kNN graph degree (reference datasets: 60)
     out_dim: Optional[int] = None  # GNN head width override (gnns.py:29-34)
     b_grid: int = 1000  # flatformer discretization bins (reference "B")
@@ -150,7 +154,11 @@ def _make_attention(cfg: TransformerConfig):
         from .attention.reformer import ReformerAttention
 
         return ReformerAttention(
-            bucket_size=cfg.bucket_size, n_hashes=cfg.n_hashes, **common
+            bucket_size=cfg.bucket_size,
+            n_hashes=cfg.n_hashes,
+            allow_duplicate_attention=cfg.allow_duplicate_attention,
+            attend_across_buckets=cfg.attend_across_buckets,
+            **common,
         )
     if cfg.attn_type == "smyrf":
         from .attention.smyrf import SmyrfAttention

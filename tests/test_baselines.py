@@ -118,3 +118,61 @@ def test_gnn_forward(conv_type):
     )
     assert out.shape == (N, BASE["h_dim"] // 2)
     assert np.isfinite(np.asarray(out)[: int(valid.sum())]).all()
+
+
+def test_reformer_duplicate_attention_correction():
+    """allow_duplicate_attention=False down-weights pairs colliding in
+    multiple hash rounds (reference reformer.py:266-285)."""
+    x, coords, valid = _data()
+    rngs = {"rotations": jax.random.PRNGKey(2)}
+
+    def run(**kw):
+        cfg = TransformerConfig(attn_type="reformer", pe_type="none", **BASE, **kw)
+        model = HeptTransformer(cfg)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "rotations": jax.random.PRNGKey(1)},
+            x, coords, valid,
+        )
+        return np.asarray(model.apply(variables, x, coords, valid, rngs=rngs))
+
+    out_dup = run()
+    out_corr = run(allow_duplicate_attention=False)
+    # params identical (flag changes no param shapes); with n_hashes=2 some
+    # pairs collide in both rounds while others collide once, so the
+    # correction must change valid outputs.
+    nv = int(valid.sum())
+    assert np.isfinite(out_corr[:nv]).all()
+    assert np.abs(out_dup[:nv] - out_corr[:nv]).max() > 1e-6
+
+    # masking cross-bucket attention must also change outputs and stay finite
+    out_nocross = run(attend_across_buckets=False)
+    assert np.isfinite(out_nocross[:nv]).all()
+    assert np.abs(out_dup[:nv] - out_nocross[:nv]).max() > 1e-6
+
+
+def test_reformer_dup_correction_single_round_is_noop():
+    """With n_hashes=1 every co-attending pair collides exactly once, so the
+    -log(count + 1e-9) correction is ~0 and corrected == uncorrected."""
+    from hept_tpu.models.attention.reformer import ReformerAttention
+
+    n, h, d = 32, 2, 8
+    key = jax.random.PRNGKey(0)
+    qk = jax.random.normal(key, (n, h * d))
+    v = jax.random.normal(jax.random.PRNGKey(1), (n, h * d))
+    valid = jnp.ones((n,), bool)
+
+    outs = {}
+    for flag in (True, False):
+        attn = ReformerAttention(
+            h_dim=d, num_heads=h, bucket_size=8, n_hashes=1,
+            allow_duplicate_attention=flag,
+        )
+        variables = attn.init(
+            {"params": key, "rotations": jax.random.PRNGKey(3)},
+            qk, qk, v, valid=valid,
+        )
+        outs[flag] = np.asarray(
+            attn.apply(variables, qk, qk, v, valid=valid,
+                       rngs={"rotations": jax.random.PRNGKey(3)})
+        )
+    np.testing.assert_allclose(outs[True], outs[False], rtol=2e-5, atol=2e-6)
