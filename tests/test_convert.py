@@ -46,3 +46,222 @@ def test_reference_checkpoint_roundtrip():
     out = model.apply(variables, x, coords, valid)
     assert out.shape == (n, 12)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def _install_pyg_mlp_stub():
+    """Make `from torch_geometric.nn import MLP` work without PyG.
+
+    The reference example Transformer only uses PyG's MLP
+    (example/transformer.py:92-100): Linear/LayerNorm/tanh stack with a plain
+    last layer, submodules named `lins`/`norms` (matching the shipped
+    checkpoint's state_dict keys). Coexists with the unpickling stub that
+    data/loaders.py installs (`torch_geometric.data`).
+    """
+    import sys
+    import types
+
+    import torch
+
+    class MLP(torch.nn.Module):
+        def __init__(self, in_channels, out_channels, hidden_channels,
+                     num_layers, norm="layer_norm", act="tanh",
+                     norm_kwargs=None, **kw):
+            super().__init__()
+            assert norm == "layer_norm" and act == "tanh"
+            dims = [in_channels] + [hidden_channels] * (num_layers - 1)
+            dims.append(out_channels)
+            self.lins = torch.nn.ModuleList(
+                [torch.nn.Linear(dims[i], dims[i + 1]) for i in range(num_layers)]
+            )
+            self.norms = torch.nn.ModuleList(
+                [torch.nn.LayerNorm(dims[i + 1]) for i in range(num_layers - 1)]
+            )
+
+        def forward(self, x):
+            for lin, nrm in zip(self.lins[:-1], self.norms):
+                x = torch.tanh(nrm(lin(x)))
+            return self.lins[-1](x)
+
+    if "torch_geometric" not in sys.modules:
+        sys.modules["torch_geometric"] = types.ModuleType("torch_geometric")
+    root = sys.modules["torch_geometric"]
+    if not hasattr(root, "nn"):
+        nn_mod = types.ModuleType("torch_geometric.nn")
+        sys.modules["torch_geometric.nn"] = nn_mod
+        root.nn = nn_mod
+    sys.modules["torch_geometric.nn"].MLP = MLP
+
+
+def _load_reference_model():
+    import sys
+
+    import torch
+
+    _install_pyg_mlp_stub()
+    ref_dir = "/root/reference/example"
+    sys.path.insert(0, ref_dir)
+    try:
+        import transformer as ref_transformer
+    finally:
+        sys.path.remove(ref_dir)
+
+    sd = torch.load(CKPT, map_location="cpu", weights_only=False)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    in_dim = sd["feat_encoder.0.weight"].shape[1]
+    coords_dim = sd["attns.0.w_rpe.weight"].shape[1] // 10 + 1
+    model = ref_transformer.Transformer(
+        in_dim=in_dim, coords_dim=coords_dim, num_classes=None,
+        h_dim=24, num_heads=8, n_layers=4, block_size=100, n_hashes=3,
+        num_regions=150, num_w_per_dist=10,
+    )
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    # w_rpe bias exists in the ckpt but is unused by prep_qk; nothing of ours
+    # may be missing.
+    assert not missing, missing
+    model.eval()
+    return model, in_dim, coords_dim
+
+
+def _event(seed, n, in_dim, coords_dim):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((n, in_dim)).astype(np.float32)
+    coords = np.concatenate(
+        [
+            rng.uniform(-4.0, 4.0, (n, 1)),   # eta
+            rng.uniform(-np.pi, np.pi, (n, 1)),  # phi
+            rng.standard_normal((n, coords_dim - 2)),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    return x, coords
+
+
+def _golden_cfg(in_dim, coords_dim):
+    from hept_tpu.models import TransformerConfig
+
+    return TransformerConfig(
+        in_dim=in_dim, coords_dim=coords_dim, task="tracking",
+        h_dim=24, num_heads=8, n_layers=4, block_size=100, n_hashes=3,
+        num_regions=150, num_w_per_dist=10,
+        padding_mode="replicate", attn_impl="xla",
+    )
+
+
+def _assert_golden(out, ref_out):
+    """Separate the two divergence regimes: a wiring bug corrupts ~all points
+    at O(1) relative error; fp near-tie sort flips (two hash keys within f32
+    noise ordering differently between torch and XLA) perturb only the
+    flipped pair's two buckets (~1 wrong neighbor in 100 -> rel ~1e-2 for a
+    couple hundred points). Assert the bulk matches to fp32 tolerance and
+    bound the flip-contaminated tail."""
+    rel = np.abs(out - ref_out) / (np.abs(ref_out) + 1.0)
+    assert np.median(rel) < 1e-5, f"median rel {np.median(rel):.2e}"
+    assert np.percentile(rel, 80) < 5e-3, f"p80 rel {np.percentile(rel, 80):.2e}"
+    assert (rel < 1e-2).mean() > 0.9, f"frac<1e-2 {(rel < 1e-2).mean():.3f}"
+
+
+@pytest.mark.skipif(not CKPT.exists(), reason="reference checkpoint not present")
+def test_full_model_golden_single_bucket():
+    """End-to-end numerical parity: shipped checkpoint, identical inputs,
+    reference example Transformer (torch) vs ours (jax). With n == block_size
+    every (hash, head) round has exactly ONE bucket, so bucketing cannot
+    diverge through fp sort ties and the match must be tight. Fails on any
+    head/concat/encoder wiring change (VERDICT missing #2)."""
+    torch = pytest.importorskip("torch")
+    from hept_tpu.models import HeptTransformer
+    from hept_tpu.utils.convert import load_reference_checkpoint
+
+    ref_model, in_dim, coords_dim = _load_reference_model()
+    n = 100
+    x, coords = _event(0, n, in_dim, coords_dim)
+
+    with torch.no_grad():
+        ref_out = ref_model(
+            torch.from_numpy(x), torch.from_numpy(coords),
+            torch.zeros(n, dtype=torch.long),
+        ).numpy()
+
+    model = HeptTransformer(_golden_cfg(in_dim, coords_dim))
+    variables = load_reference_checkpoint(str(CKPT))
+    out = np.asarray(
+        model.apply(variables, jnp.asarray(x), jnp.asarray(coords),
+                    jnp.ones(n, bool))
+    )
+    assert ref_out.shape == out.shape == (n, 12)
+    # 4 layers + a 256-wide MLP amplify fp32 noise; scale-relative 1e-3.
+    scale = np.abs(ref_out).max()
+    np.testing.assert_allclose(out, ref_out, rtol=1e-3, atol=1e-3 * scale)
+
+
+@pytest.mark.skipif(not CKPT.exists(), reason="reference checkpoint not present")
+def test_full_model_golden_single_event():
+    """Multi-bucket parity at n=997 (exercises replication padding): bulk at
+    fp32 tolerance, fp sort-tie tail bounded (see _assert_golden)."""
+    torch = pytest.importorskip("torch")
+    from hept_tpu.models import HeptTransformer
+    from hept_tpu.utils.convert import load_reference_checkpoint
+
+    ref_model, in_dim, coords_dim = _load_reference_model()
+    n = 997  # not a multiple of block_size: exercises replication padding
+    x, coords = _event(0, n, in_dim, coords_dim)
+
+    with torch.no_grad():
+        ref_out = ref_model(
+            torch.from_numpy(x), torch.from_numpy(coords),
+            torch.zeros(n, dtype=torch.long),
+        ).numpy()
+
+    model = HeptTransformer(_golden_cfg(in_dim, coords_dim))
+    variables = load_reference_checkpoint(str(CKPT))
+
+    n_pad = ((n + 99) // 100) * 100
+    xp = np.zeros((n_pad, in_dim), np.float32)
+    cp = np.zeros((n_pad, coords_dim), np.float32)
+    xp[:n], cp[:n] = x, coords
+    valid = np.arange(n_pad) < n
+    out = np.asarray(
+        model.apply(variables, jnp.asarray(xp), jnp.asarray(cp), jnp.asarray(valid))
+    )[:n]
+
+    assert ref_out.shape == out.shape == (n, 12)
+    _assert_golden(out, ref_out)
+
+
+@pytest.mark.skipif(not CKPT.exists(), reason="reference checkpoint not present")
+def test_full_model_golden_ragged_batch():
+    """Same parity through the flat ragged-batch path (batch-index AND codes)
+    vs the reference's concatenated batch."""
+    torch = pytest.importorskip("torch")
+    from hept_tpu.models import HeptTransformer, make_flat_batched_apply
+    from hept_tpu.utils.convert import load_reference_checkpoint
+
+    ref_model, in_dim, coords_dim = _load_reference_model()
+    n1, n2 = 437, 903
+    x1, c1 = _event(1, n1, in_dim, coords_dim)
+    x2, c2 = _event(2, n2, in_dim, coords_dim)
+
+    with torch.no_grad():
+        ref_out = ref_model(
+            torch.from_numpy(np.concatenate([x1, x2])),
+            torch.from_numpy(np.concatenate([c1, c2])),
+            torch.cat([torch.zeros(n1, dtype=torch.long),
+                       torch.ones(n2, dtype=torch.long)]),
+        ).numpy()
+
+    model = HeptTransformer(_golden_cfg(in_dim, coords_dim))
+    variables = load_reference_checkpoint(str(CKPT))
+
+    n_max = 1000
+    xb = np.zeros((2, n_max, in_dim), np.float32)
+    cb = np.zeros((2, n_max, coords_dim), np.float32)
+    vb = np.zeros((2, n_max), bool)
+    xb[0, :n1], cb[0, :n1], vb[0, :n1] = x1, c1, True
+    xb[1, :n2], cb[1, :n2], vb[1, :n2] = x2, c2, True
+
+    apply = make_flat_batched_apply(model)
+    out = np.asarray(
+        apply(variables, jnp.asarray(xb), jnp.asarray(cb), jnp.asarray(vb))
+    )
+    _assert_golden(out[0, :n1], ref_out[:n1])
+    _assert_golden(out[1, :n2], ref_out[n1:])
