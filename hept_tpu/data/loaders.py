@@ -40,15 +40,19 @@ class _StubData:
 
 
 def _install_pyg_stubs():
-    if "torch_geometric" in sys.modules:
-        return
-    root = types.ModuleType("torch_geometric")
-    data_mod = types.ModuleType("torch_geometric.data")
-    data_mod.Data = _StubData
-    data_mod.InMemoryDataset = object
-    root.data = data_mod
-    sys.modules["torch_geometric"] = root
-    sys.modules["torch_geometric.data"] = data_mod
+    """Incremental: other stubs (e.g. the test-only torch_geometric.nn.MLP)
+    may have created the root module already — only add what's missing, and
+    never overwrite a real torch_geometric install."""
+    root = sys.modules.get("torch_geometric")
+    if root is None:
+        root = types.ModuleType("torch_geometric")
+        sys.modules["torch_geometric"] = root
+    if "torch_geometric.data" not in sys.modules:
+        data_mod = types.ModuleType("torch_geometric.data")
+        data_mod.Data = _StubData
+        data_mod.InMemoryDataset = object
+        root.data = data_mod
+        sys.modules["torch_geometric.data"] = data_mod
 
 
 def _slice(tensor, slices, idx):
@@ -56,11 +60,34 @@ def _slice(tensor, slices, idx):
     return tensor[s:e]
 
 
+def _tracking_split(evtids: np.ndarray) -> tuple[list, list, list]:
+    """The reference's split: sort events by evtid, 80/10/10 with n_train
+    rounded down to a multiple of 10 (tracking.py get_new_idx_split:38-51)."""
+    order = np.argsort(evtids, kind="stable")
+    n = len(order)
+    n_tr = int(n * 0.8)
+    n_tr -= n_tr % 10
+    n_va = int(n * 0.1)
+    return (
+        list(order[:n_tr]),
+        list(order[n_tr : n_tr + n_va]),
+        list(order[n_tr + n_va :]),
+    )
+
+
 def load_reference_dataset(name: str, data_dir: str = "data/") -> SplitDataset:
     """Load `<data_dir>/<name>/processed/data.pt` (reference layout).
 
-    Splits follow the reference: 80/10/10 in stored order
-    (tracking.py:38-51 sorts by event id at build time).
+    The archive is `(collated Data, slices[, idx_split])`
+    (tracking.py:85, pileup.py:34). PyG's collate concatenates node attrs
+    along dim 0 and *index* attrs (point_pairs_index_rad, knn_edge_index_k60)
+    along dim 1 **with values incremented by each graph's node offset**
+    (PyG Data.__inc__ for keys containing "index") — so pair indices must be
+    de-offset by `slices["x"][i]` when separating.
+
+    Splits: tracking re-derives the reference's evtid-sorted 80/10/10 split
+    (tracking.py get_new_idx_split); pileup uses the stored idx_split when
+    present (pileup.py:34); otherwise 80/10/10 in stored order.
     """
     import torch
 
@@ -73,6 +100,7 @@ def load_reference_dataset(name: str, data_dir: str = "data/") -> SplitDataset:
         )
     payload = torch.load(path, map_location="cpu", weights_only=False)
     data, slices = payload[0], payload[1]
+    idx_split = payload[2] if len(payload) > 2 else None
 
     def get(obj, key):
         val = getattr(obj, key, None)
@@ -80,15 +108,19 @@ def load_reference_dataset(name: str, data_dir: str = "data/") -> SplitDataset:
             val = obj._store.get(key)
         return val
 
-    n_events = len(next(iter(slices.values()))) - 1
+    n_events = len(slices["x"]) - 1
     events = []
+    evtids = None
+    if get(data, "evtid") is not None and "evtid" in slices:
+        evtids = np.asarray(get(data, "evtid")).reshape(-1)
     for i in range(n_events):
         x = _slice(get(data, "x"), slices["x"], i).numpy().astype(np.float32)
         pos = _slice(get(data, "pos"), slices["pos"], i).numpy().astype(np.float32)
+        node_offset = int(slices["x"][i])
         if "tracking" in name:
             # TrackingTransform: x <- [x, layer/10]; coords = [pos, x[:, :4]]
             layer = _slice(get(data, "layer"), slices["layer"], i).numpy()
-            x = np.concatenate([x, layer[:, None].astype(np.float32) / 10.0], axis=1)
+            x = np.concatenate([x, layer.reshape(-1, 1).astype(np.float32) / 10.0], axis=1)
             coords = np.concatenate([pos, x[:, :4]], axis=1)
             pid = _slice(get(data, "particle_id"), slices["particle_id"], i).numpy()
             _, dense_ids = np.unique(pid, return_inverse=True)
@@ -103,16 +135,25 @@ def load_reference_dataset(name: str, data_dir: str = "data/") -> SplitDataset:
                 get(data, "reconstructable"), slices["reconstructable"], i
             ).numpy().astype(np.float32)
             pt = _slice(get(data, "pt"), slices["pt"], i).numpy().astype(np.float32)
-            pairs = _slice(
-                get(data, "point_pairs_index"), slices["point_pairs_index"], i
-            ).numpy().astype(np.int32)
-            if pairs.shape[0] != 2:
-                pairs = pairs.T
+            key = (
+                "point_pairs_index"
+                if "point_pairs_index" in slices
+                else "point_pairs_index_rad"
+            )
+            pairs_t = get(data, key)
+            # index attrs collate along dim 1 (shape (2, E_total))
+            pairs = pairs_t[:, int(slices[key][i]) : int(slices[key][i + 1])].numpy()
+            pairs = pairs.astype(np.int64) - node_offset  # undo PyG __inc__
+            if (pairs < 0).any() or (pairs >= x.shape[0]).any():
+                raise ValueError(
+                    f"event {i}: pair indices out of range after de-offset "
+                    f"(min {pairs.min()}, max {pairs.max()}, n {x.shape[0]})"
+                )
             events.append(
                 Event(
                     x=x, coords=coords.astype(np.float32),
                     cluster_ids=dense_ids.astype(np.int32),
-                    recons=recons, pts=pt, pairs=pairs,
+                    recons=recons, pts=pt, pairs=pairs.astype(np.int32),
                 )
             )
         else:  # pileup
@@ -126,12 +167,23 @@ def load_reference_dataset(name: str, data_dir: str = "data/") -> SplitDataset:
                 )
             )
 
-    n_tr = int(n_events * 0.8)
-    n_va = int(n_events * 0.1)
+    if "tracking" in name and evtids is not None:
+        tr, va, te = _tracking_split(evtids)
+    elif idx_split is not None and all(k in idx_split for k in ("train", "valid", "test")):
+        tr = [int(j) for j in np.asarray(idx_split["train"]).reshape(-1)]
+        va = [int(j) for j in np.asarray(idx_split["valid"]).reshape(-1)]
+        te = [int(j) for j in np.asarray(idx_split["test"]).reshape(-1)]
+    else:
+        n_tr = int(n_events * 0.8)
+        n_va = int(n_events * 0.1)
+        tr = list(range(n_tr))
+        va = list(range(n_tr, n_tr + n_va))
+        te = list(range(n_tr + n_va, n_events))
+
     return SplitDataset(
-        train=events[:n_tr],
-        valid=events[n_tr : n_tr + n_va],
-        test=events[n_tr + n_va :],
+        train=[events[j] for j in tr],
+        valid=[events[j] for j in va],
+        test=[events[j] for j in te],
         in_dim=events[0].x.shape[1],
         coords_dim=events[0].coords.shape[1],
     )
