@@ -61,6 +61,12 @@ class HeptAttention(nn.Module):
     impl: str = "xla"  # "xla" | "pallas"
     sort_pack: bool = False  # move sort payloads as bf16 pairs (fast mode)
     sort_ops: int = 1  # payload operands per sort call (less key traffic)
+    # Tensor parallelism over heads (parallel/tp.py): when set, this module
+    # runs on a per-chip head slice (num_heads = global // axis size; w_q/w_k/
+    # w_v/w_rpe/alpha arrive pre-sliced by shard_map) and all-gathers the
+    # per-head outputs over this mesh axis before the full out_linear. Each
+    # head's hash/sort/attend path is chip-local — the only collective.
+    head_axis: str | None = None
 
     @nn.compact
     def __call__(self, query, key, value, *, coords, codes, w_rpe_weight,
@@ -119,4 +125,8 @@ class HeptAttention(nn.Module):
             sort_ops=self.sort_ops,
         )  # (h, d, n)
         out = out.reshape(h * d, n).T
+        if self.head_axis is not None:
+            # reassemble (n, h_global*d) head-major across the TP axis; the
+            # out-projection then runs replicated with the full kernel.
+            out = jax.lax.all_gather(out, self.head_axis, axis=1, tiled=True)
         return TorchLinear(d, name="out_linear")(out)

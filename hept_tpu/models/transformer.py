@@ -70,6 +70,10 @@ class TransformerConfig:
     # reference counterpart). Params move to blocks/block/... with a leading
     # n_layers axis — see stack_layer_params/unstack_layer_params.
     scan_layers: bool = False
+    # Head-sharded tensor parallelism (parallel/tp.py): set by the TP train
+    # step on the LOCAL model config — the mesh axis name the per-chip head
+    # slice all-gathers over before out_linear. None = single-chip semantics.
+    head_axis: Optional[str] = None
 
 
 class PELearned(nn.Module):
@@ -128,6 +132,7 @@ def _make_attention(cfg: TransformerConfig):
             impl=cfg.attn_impl,
             sort_pack=cfg.sort_pack,
             sort_ops=cfg.sort_ops,
+            head_axis=cfg.head_axis,
             **common,
         )
     if cfg.attn_type == "performer":

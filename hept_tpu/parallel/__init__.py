@@ -1,9 +1,13 @@
 from .mesh import make_mesh, batch_sharding, replicated_sharding
 from .dp import make_dp_train_step
+from .tp import make_tp_train_step, head_param_specs, place_variables
 
 __all__ = [
     "make_mesh",
     "batch_sharding",
     "replicated_sharding",
     "make_dp_train_step",
+    "make_tp_train_step",
+    "head_param_specs",
+    "place_variables",
 ]

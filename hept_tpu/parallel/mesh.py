@@ -16,20 +16,31 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(
-    n_devices: int | None = None, axis_names: tuple[str, ...] = ("data",)
+    n_devices: int | None = None,
+    axis_names: tuple[str, ...] = ("data",),
+    axis_sizes: tuple[int, ...] | None = None,
 ) -> Mesh:
-    """1-D (or reshaped) mesh over the available devices."""
+    """Mesh over the available devices.
+
+    1-D by default; pass `axis_sizes` for multi-axis meshes (e.g.
+    axis_names=("data", "heads"), axis_sizes=(2, 4)). The product of
+    axis_sizes must equal the device count used.
+    """
     devices = jax.devices()
     n = n_devices or len(devices)
     if n > len(devices):
         raise ValueError(f"requested {n} devices, have {len(devices)}")
-    dev = np.asarray(devices[:n])
-    if len(axis_names) > 1:
-        # split n into len(axis_names) roughly-even factors, data-major
-        shape = [1] * len(axis_names)
-        shape[0] = n
-        dev = dev.reshape(shape)
-    return Mesh(dev.reshape([n] + [1] * (len(axis_names) - 1)), axis_names)
+    if axis_sizes is None:
+        axis_sizes = (n,) + (1,) * (len(axis_names) - 1)
+    if len(axis_sizes) != len(axis_names):
+        raise ValueError(f"{len(axis_names)} axis names, {len(axis_sizes)} sizes")
+    prod = 1
+    for s in axis_sizes:
+        prod *= s
+    if prod != n:
+        raise ValueError(f"axis_sizes {axis_sizes} product {prod} != {n} devices")
+    dev = np.asarray(devices[:n]).reshape(axis_sizes)
+    return Mesh(dev, axis_names)
 
 
 def batch_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:

@@ -60,6 +60,11 @@ class ExperimentConfig:
     attn_impl: str = "pallas"
     padding_mode: str = "replicate"
     n_devices: Optional[int] = None  # DP width; None = all
+    # Head-sharded tensor parallelism (parallel/tp.py): shard the attention
+    # heads over this many devices, composed with DP on a 2-D
+    # ("data", "heads") mesh. 1 = off. HEPT only; must divide num_heads and
+    # n_devices.
+    shard_heads: int = 1
     # "vmap": dense per-event vmap; "flat": concatenate the event batch into
     # one forward with batch-index AND codes (reference example design) —
     # much faster for small events, where the per-sort-call latency floor

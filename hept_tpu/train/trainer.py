@@ -285,20 +285,38 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
     state = TrainState.create(variables, tx, state_rng)
 
     n_dev = cfg.n_devices
+    sh = max(1, int(cfg.shard_heads))
     if n_dev is None:
-        # largest device count that evenly divides the event batch
+        # largest device count that evenly divides the event batch (times the
+        # head-shard factor when TP is on)
         avail = len(jax.devices())
-        n_dev = max(d for d in range(1, avail + 1) if cfg.batch_size % d == 0)
+        n_dev = sh * max(
+            d for d in range(1, avail // sh + 1) if cfg.batch_size % d == 0
+        )
     loss_fn = make_loss_fn(cfg)
-    if n_dev == 1:
+    if sh > 1:
+        # DP x head-TP on a ("data", "heads") mesh (parallel/tp.py).
+        from ..parallel.tp import make_tp_train_step, shard_batch_2d
+        from ..models import HeptTransformer
+
+        assert n_dev % sh == 0, f"n_devices {n_dev} not divisible by shard_heads {sh}"
+        assert cfg.batch_mode == "vmap", "shard_heads requires batch_mode='vmap'"
+        mesh = make_mesh(n_dev, ("data", "heads"), (n_dev // sh, sh))
+        train_step = make_tp_train_step(
+            HeptTransformer, model_cfg, loss_fn, tx, mesh, variables
+        )
+        transfer_fn = lambda b: shard_batch_2d(b, mesh)  # noqa: E731
+    elif n_dev == 1:
         # Plain jit on one device: the mesh/NamedSharding wrapper buys
         # nothing and some remote backends fail to AOT-compile the sharded
         # module (axon remote_compile HTTP 500 on single-chip meshes).
         mesh = None
         train_step = make_single_device_train_step(model_apply, loss_fn, tx)
+        transfer_fn = lambda b: jax.tree_util.tree_map(jnp.asarray, b)  # noqa: E731
     else:
         mesh = make_mesh(n_dev)
         train_step = make_dp_train_step(model_apply, loss_fn, tx, mesh, donate=False)
+        transfer_fn = lambda b: shard_batch(b, mesh)  # noqa: E731
 
     run_dir = Path(cfg.log_dir) / f"{cfg.task}_{cfg.model_name}_{cfg.seed}_{cfg.note}"
     logger = ScalarLogger(run_dir)
@@ -329,9 +347,7 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
             "train", cfg.batch_size, block_size, n_max=n_max, e_max=e_max or None,
             shuffle_rng=data_rng,
         )
-        transfer = (lambda b: shard_batch(b, mesh)) if mesh is not None else (
-            lambda b: jax.tree_util.tree_map(jnp.asarray, b))
-        for sb in prefetch(batches, transfer=transfer):
+        for sb in prefetch(batches, transfer=transfer_fn):
             state, metrics = train_step(state, sb)
             epoch_losses.append(float(metrics["loss"]))
 

@@ -97,3 +97,74 @@ def test_graft_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_tp_head_sharded_train_step_matches_dp():
+    """DP × head-TP (2x4 mesh) must produce the same loss and parameter
+    update as plain 8-way DP / single device (VERDICT next #8: trains via
+    config'd mesh alone; dropout off here for determinism)."""
+    import numpy as np
+
+    from hept_tpu.data.batching import pack_events
+    from hept_tpu.data.synthetic import synthetic_tracking_event
+    from hept_tpu.models import HeptTransformer, TransformerConfig
+    from hept_tpu.parallel.dp import make_dp_train_step, shard_batch
+    from hept_tpu.parallel.mesh import make_mesh
+    from hept_tpu.parallel.tp import make_tp_train_step, shard_batch_2d
+    from hept_tpu.train.config import ExperimentConfig
+    from hept_tpu.train.optim import make_optimizer
+    from hept_tpu.train.state import TrainState
+    from hept_tpu.train.trainer import make_loss_fn, make_model_apply
+
+    rng = np.random.default_rng(0)
+    events = [synthetic_tracking_event(rng, n_points=96) for _ in range(2)]
+    batch = pack_events(events, block_size=16, n_max=112, e_max=2048)
+
+    cfg = TransformerConfig(
+        in_dim=events[0].x.shape[1], coords_dim=events[0].coords.shape[1],
+        task="tracking", h_dim=8, num_heads=4, n_layers=2, block_size=16,
+        n_hashes=2, num_regions=9, num_w_per_dist=3, padding_mode="replicate",
+        dropout=0.0,
+    )
+    model = HeptTransformer(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch["x"][0]), jnp.asarray(batch["coords"][0]),
+        jnp.asarray(batch["valid"][0]),
+    )
+    exp = ExperimentConfig(task="tracking")
+    # SGD: updates are linear in the grads, so fp-reordering noise is not
+    # amplified (adam's rsqrt blows up near-zero grad elements) and the
+    # DP-vs-TP comparison can be tight.
+    import optax
+
+    tx = optax.sgd(1e-2)
+    loss_fn = make_loss_fn(exp)
+
+    # baseline: 2-way DP
+    mesh_dp = make_mesh(2)
+    state = TrainState.create(variables, tx, jax.random.PRNGKey(1))
+    dp_step = make_dp_train_step(
+        make_model_apply(model), loss_fn, tx, mesh_dp, donate=False
+    )
+    dp_state, dp_metrics = dp_step(state, shard_batch(batch, mesh_dp))
+
+    # DP x TP: 2 data shards x 4 head shards
+    mesh = make_mesh(8, ("data", "heads"), (2, 4))
+    state = TrainState.create(variables, tx, jax.random.PRNGKey(1))
+    tp_step = make_tp_train_step(
+        HeptTransformer, cfg, loss_fn, tx, mesh, variables
+    )
+    tp_state, tp_metrics = tp_step(state, shard_batch_2d(batch, mesh))
+
+    np.testing.assert_allclose(
+        float(dp_metrics["loss"]), float(tp_metrics["loss"]), rtol=1e-5
+    )
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(dp_state.params),
+        jax.tree_util.tree_leaves_with_path(tp_state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+            err_msg=f"{pa}",
+        )

@@ -103,3 +103,29 @@ def test_training_reduces_loss(tmp_path):
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_tracking_e2e_head_sharded(tmp_path):
+    """shard_heads in the config alone trains DP x TP on the virtual 8-device
+    mesh (2 data shards x 2 head shards here; VERDICT next #8)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    ds = make_synthetic_tracking(n_events=8, n_points=128, seed=0)
+    cfg = ExperimentConfig(
+        task="tracking",
+        model_kwargs=TINY_MODEL,
+        optimizer_kwargs={"lr": 1e-3},
+        num_epochs=1,
+        batch_size=2,
+        n_devices=4,
+        shard_heads=2,
+        main_metric="accuracy@0.9",
+        mode="max",
+        log_dir=str(tmp_path),
+        attn_impl="xla",
+    )
+    res = run_one_seed(cfg, dataset=ds)
+    assert np.isfinite(res["loss"])
+    assert 0.0 <= res["accuracy@0.9"] <= 1.0
