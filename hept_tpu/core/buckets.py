@@ -190,7 +190,9 @@ def _grouped_sort_impl(keys_list, payload_list, pack, n_ops=1):
     chunks = [[] for _ in range(n_ops)]
     key_rows, metas = [], []
     for keys, cols in zip(keys_list, payload_list):
-        if cols.ndim == 3:
+        if cols.ndim == 2:  # (d, n): shared across hashes AND heads
+            cols = jnp.broadcast_to(cols[None, None], (c, h) + cols.shape)
+        elif cols.ndim == 3:  # (h, d, n): shared across hashes
             cols = jnp.broadcast_to(cols[None], (c,) + cols.shape)
         u32, d = _cols_to_u32(cols, pack)
         iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.uint32), (c, h, 1, n))
@@ -241,16 +243,21 @@ def _make_grouped_sort_carry(pack: bool, n_groups: int, n_ops: int):
         outs, srcs = _grouped_sort_impl(
             list(keys_tuple), list(payload_tuple), pack, n_ops
         )
-        was_3d = tuple(p.ndim == 3 for p in payload_tuple)
-        return (tuple(outs), tuple(srcs)), (tuple(srcs), keys_tuple, was_3d)
+        in_ndim = tuple(p.ndim for p in payload_tuple)
+        return (tuple(outs), tuple(srcs)), (tuple(srcs), keys_tuple, in_ndim)
 
     def bwd(res, cotangents):
-        srcs, keys_tuple, was_3d = res
+        srcs, keys_tuple, in_ndim = res
         g_outs, _ = cotangents
         # sorted[s] = payload[src[s]] => d payload = unsort(g) = re-sort g on
-        # src. All groups ride the SAME backward sort call.
+        # src. All groups ride the SAME backward sort call. Broadcast
+        # payloads ((h,d,n) over hashes; (d,n) over hashes and heads) sum
+        # their cotangents over the broadcast axes.
         gps, _ = _grouped_sort_impl(list(srcs), list(g_outs), pack, n_ops)
-        gps = [g.sum(axis=0) if b3 else g for g, b3 in zip(gps, was_3d)]
+        gps = [
+            g.sum(axis=(0, 1)) if nd == 2 else (g.sum(axis=0) if nd == 3 else g)
+            for g, nd in zip(gps, in_ndim)
+        ]
         gks = tuple(
             _float0_zero(k)
             if jnp.issubdtype(k.dtype, jnp.integer)

@@ -67,12 +67,20 @@ class HeptAttention(nn.Module):
     # per-head outputs over this mesh axis before the full out_linear. Each
     # head's hash/sort/attend path is chip-local — the only collective.
     head_axis: str | None = None
+    # Post-sort projections (ops/bucket_attn.py hept_attention_core_xcols):
+    # the caller passes the SHARED normed hidden state as `query` plus the
+    # per-head projection kernels (wq/wk/wv kwargs); the sort moves
+    # [x|coords] (30 cols) per key order instead of q̂/k̂v (84) — the big
+    # sort-traffic lever. Numerically equal up to fp32 reordering.
+    post_sort: bool = False
 
     @nn.compact
     def __call__(self, query, key, value, *, coords, codes, w_rpe_weight,
-                 invalid=None, **_):
+                 invalid=None, wq=None, wk=None, wv=None, **_):
         """Args:
-          query/key/value: (n, num_heads * h_dim) projections.
+          query/key/value: (n, num_heads * h_dim) projections; under
+            post_sort, `query` is the (n, h_dim) normed hidden state and
+            key/value are unused (the wq/wk/wv kernels project post-sort).
           coords: (n, coords_dim) (pad rows zeroed by the caller).
           codes: (n_hashes, num_heads, n) AND codes.
           invalid: optional (n,) bool — rows forced to trailing buckets.
@@ -81,6 +89,32 @@ class HeptAttention(nn.Module):
         n = query.shape[0]
         h, d = self.num_heads, self.h_dim
         hash_dim = d + self.coords_dim
+
+        if self.post_sort:
+            from ...ops.bucket_attn import hept_attention_core_xcols
+
+            w = w_rpe_weight.reshape(h, d, self.coords_dim - 1, self.num_w_per_dist)
+            qw = jnp.exp(jnp.minimum(w.sum(axis=1), 50.0)).sum(axis=-1)
+            qw_expanded = jnp.concatenate([qw[:, :1], qw], axis=-1)
+            sqrt_w = jnp.sqrt(2.0 * qw_expanded)  # (h, cd)
+            alpha = self.variable(
+                "constants",
+                "e2lsh_alpha",
+                lambda: e2lsh_init(self.make_rng("params"), h, hash_dim, self.n_hashes),
+            ).value
+            out = hept_attention_core_xcols(
+                query.T,  # (d_model, n) shared normed hidden
+                coords.T,
+                wq, wk, wv, sqrt_w, alpha, codes, invalid,
+                block_size=self.block_size,
+                impl=self.impl,
+                sort_pack=self.sort_pack,
+                sort_ops=self.sort_ops,
+            )  # (h, d, n)
+            out = out.reshape(h * d, n).T
+            if self.head_axis is not None:
+                out = jax.lax.all_gather(out, self.head_axis, axis=1, tiled=True)
+            return TorchLinear(d, name="out_linear")(out)
 
         # Column layout ((h, d, n)) end to end: the sort pipeline and bucket
         # kernels consume columns natively, so the core runs transpose-free

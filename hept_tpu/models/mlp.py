@@ -77,3 +77,20 @@ class FeedForward(nn.Module):
         x = TorchLinear(self.features)(x)
         x = nn.relu(x)
         return TorchLinear(self.features)(x)
+
+
+class KernelOnly(nn.Module):
+    """Declare a TorchLinear-compatible kernel parameter WITHOUT computing
+    the projection — same param path ("<name>/kernel") and init as
+    `TorchLinear(features, use_bias=False)`, for paths that apply the
+    projection elsewhere (post-sort q/k/v in HEPT, ops/bucket_attn.py
+    hept_attention_core_xcols)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        bound = 1.0 / math.sqrt(in_features)
+        return self.param(
+            "kernel", bounded_uniform(bound), (in_features, self.features)
+        )

@@ -50,6 +50,11 @@ class TransformerConfig:
     attn_impl: str = "xla"  # "xla" | "pallas"
     sort_pack: bool = False  # bf16-packed sort payloads in HEPT attention
     sort_ops: int = 1  # payload operands per sort call (see grouped_sort_carry)
+    # Sort the shared [x|coords] columns per key order and apply w_q/w_k/w_v
+    # AFTER the bucket sort (60 sorted columns/layer instead of 84 — the
+    # sort-traffic lever; ops/bucket_attn.py hept_attention_core_xcols).
+    # Same param tree and math, fp32-reordering-level differences only.
+    qkv_post_sort: bool = False
     num_classes: int = 1  # pileup head width
     # baseline-attention knobs (reference configs/*)
     pe_type: str = "none"  # none | learned | fixed
@@ -133,6 +138,7 @@ def _make_attention(cfg: TransformerConfig):
             sort_pack=cfg.sort_pack,
             sort_ops=cfg.sort_ops,
             head_axis=cfg.head_axis,
+            post_sort=cfg.qkv_post_sort,
             **common,
         )
     if cfg.attn_type == "performer":
@@ -259,6 +265,28 @@ class AttnBlock(nn.Module):
                 valid=valid,
                 edges=edges,
                 edge_mask=edge_mask,
+            )
+        elif cfg.attn_type == "hept" and cfg.qkv_post_sort:
+            # post-sort projections: declare the same w_q/w_k/w_v kernel
+            # params (identical tree) but apply them inside the attention
+            # core AFTER the bucket sort (ops/bucket_attn.py xcols pipeline).
+            from .mlp import KernelOnly
+
+            x_normed = nn.LayerNorm(name="norm1")(x)
+
+            def heads(kern):  # (d, h*d) -> (h, d, d) head-major
+                return kern.reshape(d, h, d).transpose(1, 0, 2)
+
+            aggr = attn(
+                x_normed, None, None,
+                coords=coords,
+                codes=codes,
+                w_rpe_weight=w_rpe,
+                invalid=invalid,
+                valid=valid,
+                wq=heads(KernelOnly(d * h, name="w_q")(d)),
+                wk=heads(KernelOnly(d * h, name="w_k")(d)),
+                wv=heads(KernelOnly(d * h, name="w_v")(d)),
             )
         else:
             x_pe = x + pe if pe is not None else x

@@ -274,3 +274,114 @@ def hept_attention_core_cols(
                                            n_ops=sort_ops)
     o, logits = od_unsorted[:, :, :dv], od_unsorted[:, :, dv:]
     return stable_ratio(o.sum(axis=0), logits.sum(axis=0))
+
+
+@partial(jax.jit, static_argnames=("block_size", "impl", "sort_pack", "sort_ops"))
+def hept_attention_core_xcols(
+    x_cols: Array,
+    coords_cols: Array,
+    wq: Array,
+    wk: Array,
+    wv: Array,
+    sqrt_w: Array,
+    alpha: Array,
+    codes: Array,
+    invalid: Array | None = None,
+    *,
+    block_size: int,
+    impl: str = "xla",
+    sort_pack: bool = False,
+    sort_ops: int = 1,
+) -> Array:
+    """Post-sort-projection HEPT pipeline: sort the SHARED pre-projection
+    activations instead of per-head q̂/k̂/v.
+
+    The sort is the step's wall (BASELINE.md): `hept_attention_core_cols`
+    moves q̂(d+cd) + k̂v(d+cd+dv) = 84 per-head columns per (hash, head)
+    permutation. But q̂ = [W_q x, √(2w)·coords] is a per-head LINEAR function
+    of the shared (x, coords), so sorting [x|coords] (30 columns) once per
+    key order and applying W_q/W_k/W_v AFTER the sort moves 60 columns
+    instead of 84 — and the LSH keys need no pre-sort q̂ at all, because the
+    hash directions compose: α·q̂ = (W_qᵀ α₁)·x + (√(2w)⊙α₂)·coords.
+
+    Numerically identical to `hept_attention_core_cols` up to fp32
+    reordering (same math as reference hept.py:36-43,93-115; projections are
+    bias-free, reference transformer.py:168-170).
+
+    Args:
+      x_cols: (d_model, n) shared pre-projection columns (normed hidden).
+      coords_cols: (cd, n).
+      wq, wk, wv: (h, d_model, d) per-head projection kernels (x.T @ w).
+      sqrt_w: (h, cd) RPE column scales (prep_qk).
+      alpha: (h, d + cd, c) frozen E2LSH directions.
+      codes: (c, h, n); invalid: optional (n,) bool.
+    Returns: (h, dv, n) attention output columns.
+    """
+    h, d_model, d = wq.shape
+    cd = coords_cols.shape[0]
+    c = alpha.shape[-1]
+    n = x_cols.shape[-1]
+    dv = wv.shape[-1]
+
+    if invalid is not None:
+        keep = jnp.logical_not(invalid)[None, :]
+        x_cols = jnp.where(keep, x_cols, 0.0)
+        coords_cols = jnp.where(keep, coords_cols, 0.0)
+
+    # Compose the hash projections through the (bias-free) q/k/v projections:
+    # hash_q = (W_q^T alpha1) . x + (sqrt_w ⊙ alpha2) . coords.
+    a1, a2 = alpha[:, :d, :], alpha[:, d:, :]
+    beta_q = jnp.einsum("hed,hdc->hec", wq, a1)  # (h, d_model, c)
+    beta_k = jnp.einsum("hed,hdc->hec", wk, a1)
+    gamma = sqrt_w[:, :, None] * a2  # (h, cd, c)
+    coord_hash = jnp.einsum("hrc,rn->chn", gamma, coords_cols)
+    both = jax.lax.stop_gradient(
+        jnp.stack([
+            jnp.einsum("hec,en->chn", beta_q, x_cols) + coord_hash,
+            jnp.einsum("hec,en->chn", beta_k, x_cols) + coord_hash,
+        ])
+    )
+    hash_shift = both.max(axis=(0, 3), keepdims=True) - both.min(
+        axis=(0, 3), keepdims=True
+    )
+    q_hashed, k_hashed = both
+    shift = jax.lax.stop_gradient(codes).astype(jnp.float32) * hash_shift[0]
+    q_key = q_hashed + shift
+    k_key = k_hashed + shift
+    if invalid is not None:
+        big = jnp.asarray(3.0e38, jnp.float32)
+        q_key = jnp.where(invalid[None, None, :], big, q_key)
+        k_key = jnp.where(invalid[None, None, :], big, k_key)
+
+    xc = jnp.concatenate([x_cols, coords_cols], axis=0)  # (d_model + cd, n)
+    (sxq, sxk), (q_src, _) = grouped_sort_carry(
+        [q_key, k_key], [xc, xc], pack=sort_pack, n_ops=sort_ops
+    )  # each (c, h, d_model + cd, n)
+
+    def project(sx, w):
+        xs, cs = sx[:, :, :d_model], sx[:, :, d_model:]
+        proj = jnp.einsum(
+            "hed,chen->chdn", w, xs, preferred_element_type=jnp.float32
+        )
+        rpe = sqrt_w[None, :, :, None] * cs
+        return jnp.concatenate([proj, rpe], axis=2)  # (c, h, d + cd, n)
+
+    sq = project(sxq, wq).reshape(c * h, d + cd, n)
+    sk = project(sxk, wk).reshape(c * h, d + cd, n)
+    sv = jnp.einsum(
+        "hed,chen->chdn", wv, sxk[:, :, :d_model],
+        preferred_element_type=jnp.float32,
+    ).reshape(c * h, dv, n)
+
+    if impl == "pallas" and jax.default_backend() == "tpu":
+        from .bucket_attn_pallas import bucket_rbf_attention_cols_pallas
+
+        denom, so = bucket_rbf_attention_cols_pallas(sq, sk, sv, block_size=block_size)
+    else:
+        denom, so = bucket_rbf_attention_cols_xla(sq, sk, sv, block_size)
+
+    od = jnp.concatenate([so, denom], axis=1).reshape(c, h, dv + 1, n)
+    (od_unsorted,), _ = grouped_sort_carry([q_src], [od], pack=False,
+                                           n_ops=sort_ops)
+    o, logits = od_unsorted[:, :, :dv], od_unsorted[:, :, dv:]
+    return stable_ratio(o.sum(axis=0), logits.sum(axis=0))

@@ -232,3 +232,51 @@ class TestFlatBatching:
         g = jax.grad(loss)(variables["params"])
         norms = [float(jnp.linalg.norm(a)) for a in jax.tree_util.tree_leaves(g)]
         assert all(np.isfinite(nm) for nm in norms)
+
+
+class TestPostSortProjections:
+    def test_qkv_post_sort_matches_default(self):
+        """qkv_post_sort sorts [x|coords] and projects after the bucket sort
+        (ops/bucket_attn.py hept_attention_core_xcols); the param tree is
+        identical and outputs match the default path to fp32 reordering."""
+        model, cfg, variables, x, coords, valid = _make(
+            {"padding_mode": "replicate"}, n=64
+        )
+        import dataclasses
+
+        cfg2 = dataclasses.replace(cfg, qkv_post_sort=True)
+        model2 = HeptTransformer(cfg2)
+        v2 = model2.init(jax.random.PRNGKey(0), x, coords, valid)
+        # identical parameter trees (KernelOnly mirrors TorchLinear paths)
+        assert jax.tree_util.tree_structure(variables) == \
+            jax.tree_util.tree_structure(v2)
+        for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(variables),
+            jax.tree_util.tree_leaves_with_path(v2),
+        ):
+            assert a.shape == b.shape, pa
+
+        out1 = model.apply(variables, x, coords, valid)
+        out2 = model2.apply(variables, x, coords, valid)
+        np.testing.assert_allclose(
+            np.asarray(out1), np.asarray(out2), rtol=2e-4, atol=2e-5
+        )
+
+    def test_qkv_post_sort_grads(self):
+        model, cfg, variables, x, coords, valid = _make(
+            {"padding_mode": "replicate", "qkv_post_sort": True}, n=64
+        )
+
+        def loss(params):
+            o = model.apply(
+                {"params": params, "constants": variables["constants"]},
+                x, coords, valid,
+            )
+            return jnp.sum(o ** 2)
+
+        g = jax.grad(loss)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        # projection kernels receive gradient through the post-sort path
+        gq = g["block_0"]["w_q"]["kernel"]
+        assert float(jnp.abs(gq).max()) > 0
