@@ -21,3 +21,8 @@ import jax  # noqa: E402
 # jax_platforms="axon,cpu"; override back to pure CPU for the test suite.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# The suite is compile-bound on a 1-core CI host (~16 min cold). The
+# persistent cache makes warm reruns skip XLA compilation entirely.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,6 +1,7 @@
 """ALSH transforms + auxiliary hash families."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -17,6 +18,8 @@ from hept_tpu.core.alsh import (
 )
 from hept_tpu.models.attention.smyrf import xboxplus
 
+
+pytestmark = pytest.mark.quick
 
 def test_xboxplus_equalizes_norms():
     q = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 5))

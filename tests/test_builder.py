@@ -11,6 +11,8 @@ from hept_tpu.data.builders.trackml import (
 )
 
 
+pytestmark = pytest.mark.quick
+
 def _toy_raw(n_hits=40, seed=0):
     rng = np.random.default_rng(seed)
     # hits on pixel barrel (volume 8, layers 2/4/6/8)

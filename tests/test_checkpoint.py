@@ -1,12 +1,15 @@
 """Orbax checkpoint save/restore of the full train state."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import optax
 
 from hept_tpu.train.state import CheckpointManager, TrainState
 
+
+pytestmark = pytest.mark.quick
 
 def test_save_restore_roundtrip(tmp_path):
     params = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones(3)}

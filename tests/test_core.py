@@ -21,6 +21,8 @@ from hept_tpu.core import (
 from hept_tpu.core.regions import geo_code
 
 
+pytestmark = pytest.mark.quick
+
 class TestInvertPermutation:
     def test_roundtrip_1d(self):
         key = jax.random.PRNGKey(0)

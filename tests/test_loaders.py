@@ -7,6 +7,8 @@ unconditionally (VERDICT missing #3)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 torch = pytest.importorskip("torch")
 
 from hept_tpu.data.loaders import _install_pyg_stubs, load_reference_dataset  # noqa: E402
@@ -97,9 +99,9 @@ def test_tracking_loader_fixture(tracking_archive):
     ds = load_reference_dataset("tracking-6k", data_dir=str(root))
 
     assert len(ds.train) + len(ds.valid) + len(ds.test) == len(graphs)
-    # reference split: evtid-sorted, n_train = int(0.8*10) rounded to mult of
-    # 10 -> 0 train?? int(8) - 8%10 = 0: with 10 events n_tr=8-8=0.
-    # (matches get_new_idx_split math at this size)
+    # reference split math at 10 events: n_train = int(8) - 8 % 10 = 0,
+    # n_valid = 1 -> all events land in valid/test (get_new_idx_split)
+    assert len(ds.train) == 0 and len(ds.valid) == 1
     assert ds.in_dim == 15  # 14 + layer/10
     assert ds.coords_dim == 6
 

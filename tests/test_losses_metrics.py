@@ -1,6 +1,7 @@
 """Losses + metrics unit tests."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -11,6 +12,8 @@ from hept_tpu.train import (
     infonce_loss,
 )
 
+
+pytestmark = pytest.mark.quick
 
 def _toy_pairs():
     # 8 points, clusters: [1,1,1,2,2,0,0,0]; all recon, pt 1.0

@@ -6,6 +6,8 @@ import pytest
 from hept_tpu import native
 
 
+pytestmark = pytest.mark.quick
+
 @pytest.fixture(scope="module", autouse=True)
 def require_native():
     if not native.native_available():
