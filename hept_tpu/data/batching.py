@@ -50,6 +50,8 @@ def pack_events(
     block_size: int,
     n_max: int | None = None,
     e_max: int | None = None,
+    aug_pair_p: float = 0.0,
+    aug_rng: np.random.Generator | None = None,
 ) -> dict:
     """Pack events into dense arrays.
 
@@ -75,7 +77,9 @@ def pack_events(
     if has_pairs:
         e_req = max(ev.pairs.shape[1] for ev in events)
         e = e_max or e_req
-        out["pairs"] = np.zeros((b, 2, e), np.int32)
+        # pad pairs point at the LAST row (not 0) so the anchor-sorted order
+        # below holds across the padding tail too (masked either way)
+        out["pairs"] = np.full((b, 2, e), n - 1, np.int32)
         out["pair_mask"] = np.zeros((b, e), bool)
     for name in ("cluster_ids", "recons", "pts", "y", "is_neu"):
         if getattr(events[0], name) is not None:
@@ -95,10 +99,29 @@ def pack_events(
             if val is not None:
                 out[name][i, :ni] = val
         if has_pairs:
-            ei = ev.pairs.shape[1]
+            pairs = ev.pairs
+            if aug_pair_p > 0.0 and aug_rng is not None:
+                # train-time random pair augmentation (reference
+                # tracking_trainer.py process_data:45-52): append
+                # int(E * p / 2) random pairs, both directions. The reference
+                # dedups via to_undirected; at p=0.2 duplicate draws are
+                # negligible and skipped here.
+                n_aug = int(pairs.shape[1] * aug_pair_p / 2)
+                if n_aug:
+                    rnd = aug_rng.integers(0, ni, (2, n_aug))
+                    both = np.concatenate([rnd, rnd[::-1]], axis=1)
+                    pairs = np.concatenate([pairs, both], axis=1)
+            ei = pairs.shape[1]
             take = min(ei, out["pairs"].shape[2])
             dropped += ei - take
-            out["pairs"][i, :, :take] = ev.pairs[:, :take]
+            pairs = pairs[:, :take]
+            # anchor-sorted pairs: the loss's per-anchor segment sums become
+            # sorted-segment reductions and the anchor gathers become
+            # near-contiguous (the InfoNCE hot-path lever; train/losses.py
+            # exploits it via indices_are_sorted). Order is semantically
+            # irrelevant (all reductions are order-invariant).
+            order = np.argsort(pairs[0], kind="stable")
+            out["pairs"][i, :, :take] = pairs[:, order]
             out["pair_mask"][i, :take] = True
     if dropped:
         import logging

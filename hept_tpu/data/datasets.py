@@ -30,10 +30,13 @@ class SplitDataset:
     def iter_batches(self, split: str, batch_size: int, block_size: int,
                      n_max: int | None = None, e_max: int | None = None,
                      shuffle_rng: np.random.Generator | None = None,
-                     drop_last: bool | None = None):
+                     drop_last: bool | None = None,
+                     aug_pair_p: float = 0.0):
         """Yield packed batches. Training (shuffle_rng set) drops a trailing
         partial batch by default (static shapes + DP divisibility); eval keeps
-        it so small splits still produce metrics."""
+        it so small splits still produce metrics. `aug_pair_p` appends fresh
+        random supervision pairs per batch (train-time augmentation,
+        reference process_data)."""
         if drop_last is None:
             drop_last = shuffle_rng is not None
         events = getattr(self, split)
@@ -45,7 +48,11 @@ class SplitDataset:
             if len(chunk) < batch_size and drop_last:
                 break
             batch_events = [events[j] for j in chunk]
-            yield pack_events(batch_events, block_size, n_max=n_max, e_max=e_max)
+            yield pack_events(
+                batch_events, block_size, n_max=n_max, e_max=e_max,
+                aug_pair_p=aug_pair_p if shuffle_rng is not None else 0.0,
+                aug_rng=shuffle_rng,
+            )
 
 
 def make_synthetic_tracking(

@@ -65,6 +65,9 @@ class ExperimentConfig:
     # ("data", "heads") mesh. 1 = off. HEPT only; must divide num_heads and
     # n_devices.
     shard_heads: int = 1
+    # Train-time random supervision-pair augmentation fraction (reference
+    # tracking_trainer.py process_data p=0.2; tracking only).
+    pair_aug_p: float = 0.2
     # "vmap": dense per-event vmap; "flat": concatenate the event batch into
     # one forward with batch-index AND codes (reference example design) —
     # much faster for small events, where the per-sort-call latency floor

@@ -234,6 +234,9 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
          for ev in getattr(dataset, s) if ev.pairs is not None),
         default=0,
     )
+    if e_max and cfg.task == "tracking" and cfg.pair_aug_p > 0:
+        # headroom for train-time random pair augmentation (process_data)
+        e_max += 2 * int(e_max * cfg.pair_aug_p / 2)
 
     model, model_cfg = build_model(cfg, dataset.in_dim, dataset.coords_dim)
     model_apply = make_model_apply(model, model_cfg, batch_mode=cfg.batch_mode)
@@ -346,6 +349,7 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
         batches = dataset.iter_batches(
             "train", cfg.batch_size, block_size, n_max=n_max, e_max=e_max or None,
             shuffle_rng=data_rng,
+            aug_pair_p=cfg.pair_aug_p if cfg.task == "tracking" else 0.0,
         )
         for sb in prefetch(batches, transfer=transfer_fn):
             state, metrics = train_step(state, sb)

@@ -152,3 +152,49 @@ def test_tracking_metrics_batch_matches_per_event():
             mask = point_filter(cid[bi], rec[bi], pts[bi], thres) & valid[bi]
             a, p, r = acc_and_pr_at_k(emb[bi], cid[bi], mask, valid=valid[bi])
             np.testing.assert_allclose(tm[bi, ti], [a, p, r], rtol=1e-5, atol=1e-6)
+
+
+def test_pack_sorts_pairs_and_loss_is_order_invariant():
+    """pack_events anchor-sorts pairs (pads at n-1) so the loss's segment
+    reductions run on sorted ids; the loss itself is pair-order invariant."""
+    import jax.numpy as jnp
+
+    from hept_tpu.data.batching import pack_events
+    from hept_tpu.data.synthetic import synthetic_tracking_event
+    from hept_tpu.train.losses import infonce_loss
+
+    rng = np.random.default_rng(0)
+    ev = synthetic_tracking_event(rng, n_points=96)
+    b = pack_events([ev], block_size=16, e_max=ev.pairs.shape[1] + 64)
+    p0 = b["pairs"][0][0]
+    assert (np.diff(p0) >= 0).all(), "pairs must be anchor-sorted incl. pads"
+    n = b["x"].shape[1]
+    assert (b["pairs"][0][:, ~b["pair_mask"][0]] == n - 1).all()
+
+    emb = jnp.asarray(rng.standard_normal((n, 8)), jnp.float32)
+    args = (jnp.asarray(b["cluster_ids"][0]), jnp.asarray(b["recons"][0]),
+            jnp.asarray(b["pts"][0]))
+    l_sorted = float(infonce_loss(emb, jnp.asarray(b["pairs"][0]),
+                                  jnp.asarray(b["pair_mask"][0]), *args))
+    perm = rng.permutation(b["pairs"].shape[2])
+    l_shuf = float(infonce_loss(emb, jnp.asarray(b["pairs"][0][:, perm]),
+                                jnp.asarray(b["pair_mask"][0][perm]), *args))
+    np.testing.assert_allclose(l_sorted, l_shuf, rtol=1e-5)
+
+
+def test_pair_augmentation():
+    """aug_pair_p appends int(E*p/2) random pairs both ways (reference
+    process_data), still anchor-sorted."""
+    from hept_tpu.data.batching import pack_events
+    from hept_tpu.data.synthetic import synthetic_tracking_event
+
+    rng = np.random.default_rng(0)
+    ev = synthetic_tracking_event(rng, n_points=96)
+    e0 = ev.pairs.shape[1]
+    n_aug = 2 * int(e0 * 0.2 / 2)
+    b = pack_events([ev], block_size=16, e_max=e0 + n_aug,
+                    aug_pair_p=0.2, aug_rng=np.random.default_rng(1))
+    assert int(b["pair_mask"][0].sum()) == e0 + n_aug
+    assert (np.diff(b["pairs"][0][0]) >= 0).all()
+    # augmented pairs land inside the event's real rows
+    assert b["pairs"][0].max() < 96
