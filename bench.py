@@ -1,15 +1,21 @@
 """Benchmark: tracking-60k training throughput on one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "points/sec/chip", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "points/sec/chip", "vs_baseline": N, ...}
 
 Baseline: the reference repo records no numbers (BASELINE.md). We benchmark
-the same workload the reference's example notebook times (one >60k-point
-event, reference hyperparameters block_size=100/n_hashes=3/8 heads/4 layers)
-but as a full *training* step (fwd + bwd + adam). `vs_baseline` is computed
-against A100_TRAIN_POINTS_PER_SEC below — an estimate for the PyTorch
-reference on A100 documented in BASELINE.md; replace with a measured value
-when GPU hardware is available.
+the same workload the reference's example notebook times (>60k-point events,
+reference hyperparameters block_size=100/n_hashes=3/8 heads/4 layers) but as
+a full *training* step (fwd + bwd + adam). `vs_baseline` is computed against
+A100_TRAIN_POINTS_PER_SEC below — an estimate for the PyTorch reference on
+A100 documented in BASELINE.md; replace with a measured value when GPU
+hardware is available.
+
+The headline is the best points/sec over event-batch sizes {1, 2, 4} using
+flat batching (batch-index AND codes) for B > 1 — the per-sort-call latency
+floors amortize across events. Also reported: single-event step/fwd latency,
+MFU (vs the v5e 197 TFLOP/s bf16 peak) and achieved HBM bandwidth from XLA's
+compiled cost analysis, so utilization is trackable round over round.
 """
 
 from __future__ import annotations
@@ -22,10 +28,12 @@ import numpy as np
 # Estimated PyTorch-reference A100 training throughput for tracking-60k
 # (batch_size=1, fp32/tf32). See BASELINE.md "Throughput baseline assumption".
 A100_TRAIN_POINTS_PER_SEC = 1.0e6
+V5E_PEAK_FLOPS = 197e12  # bf16; f32 runs lower — MFU is vs this peak
 
 N_POINTS = 60_000
 WARMUP = 3
-ITERS = 20
+ITERS = 15
+BATCH_SIZES = (1, 2, 4)
 
 
 def main():
@@ -37,113 +45,158 @@ def main():
     except Exception:
         pass
     import jax.numpy as jnp
+    import optax
 
     from hept_tpu.data.batching import pack_events
     from hept_tpu.data.synthetic import synthetic_tracking_event
-    from hept_tpu.models import HeptTransformer, TransformerConfig
-    from hept_tpu.train.config import ExperimentConfig
+    from hept_tpu.models import (
+        HeptTransformer,
+        TransformerConfig,
+        make_flat_batched_apply,
+    )
     from hept_tpu.train.losses import infonce_loss
     from hept_tpu.train.optim import make_optimizer
     from hept_tpu.train.state import TrainState
-    import optax
 
     on_tpu = jax.default_backend() == "tpu"
 
     rng = np.random.default_rng(0)
-    ev = synthetic_tracking_event(
-        rng, n_points=N_POINTS, avg_track_size=8, pairs_per_point=16
-    )
-    batch = pack_events([ev], block_size=100)
-
-    cfg = TransformerConfig(
-        in_dim=ev.x.shape[1],
-        coords_dim=ev.coords.shape[1],
-        task="tracking",
-        h_dim=24,
-        num_heads=8,
-        n_layers=4,
-        block_size=100,
-        n_hashes=3,
-        num_regions=150,
-        num_w_per_dist=10,
-        padding_mode="replicate",
-        attn_impl="pallas" if on_tpu else "xla",
-        scan_layers=True,
-        sort_pack=True,  # bf16-packed sort payloads (validated: converges
-        # identically to f32 on this workload; see BASELINE.md round-1 notes)
-        sort_ops=8,  # 8 payload operands per sort call (less key traffic)
-    )
-    model = HeptTransformer(cfg)
-    # IMPORTANT: the batch is passed to the jitted step as ARGUMENTS, never
-    # captured in the closure — closure-captured device arrays are embedded
-    # into the lowered module as constants, which costs minutes on a remote
-    # backend (measured: lower() 496s closure vs 1.5s as args at 60k points).
-    keys = ("x", "coords", "valid", "pairs", "pair_mask", "cluster_ids",
-            "recons", "pts")
-    bt = {k: jnp.asarray(batch[k][0]) for k in keys}
+    events = [
+        synthetic_tracking_event(
+            rng, n_points=N_POINTS, avg_track_size=8, pairs_per_point=16
+        )
+        for _ in range(max(BATCH_SIZES))
+    ]
 
     def _stamp(msg):
         print(f"# [{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
-    _stamp("data ready; initializing model (jitted init)")
+    def make_cfg():
+        return TransformerConfig(
+            in_dim=events[0].x.shape[1],
+            coords_dim=events[0].coords.shape[1],
+            task="tracking",
+            h_dim=24, num_heads=8, n_layers=4, block_size=100, n_hashes=3,
+            num_regions=150, num_w_per_dist=10,
+            padding_mode="replicate",
+            attn_impl="pallas" if on_tpu else "xla",
+            scan_layers=True,
+            sort_pack=True,  # bf16-packed sort payloads (validated: converges
+            # identically to f32 on this workload; BASELINE.md round-1 notes)
+            sort_ops=8,  # 8 payload operands per sort call (less key traffic)
+            qkv_post_sort=True,  # sort [x|coords], project after the sort
+        )
+
+    cfg = make_cfg()
+    model = HeptTransformer(cfg)
+    flat_apply = make_flat_batched_apply(model)
+    tx = make_optimizer("adam", lr=1e-2)
+
+    def pack(b):
+        batch = pack_events(events[:b], block_size=100)
+        keys = ("x", "coords", "valid", "pairs", "pair_mask", "cluster_ids",
+                "recons", "pts")
+        return {k: jnp.asarray(batch[k]) for k in keys}
+
+    # IMPORTANT: batches travel as jitted-function ARGUMENTS, never closure
+    # constants (closure-captured device arrays are embedded into the lowered
+    # module: minutes of lowering on a remote backend).
+    def make_step(b):
+        import jax
+
+        @jax.jit
+        def train_step(state, bt):
+            def loss_of(p):
+                if b == 1:
+                    out = model.apply(
+                        {"params": p, "constants": state.constants},
+                        bt["x"][0], bt["coords"][0], bt["valid"][0],
+                    )[None]
+                else:
+                    out = flat_apply(
+                        {"params": p, "constants": state.constants},
+                        bt["x"], bt["coords"], bt["valid"],
+                    )
+                import jax.numpy as jnp
+
+                losses = jax.vmap(infonce_loss)(
+                    out, bt["pairs"], bt["pair_mask"], bt["cluster_ids"],
+                    bt["recons"], bt["pts"],
+                )
+                return losses.mean()
+
+            loss, grads = jax.value_and_grad(loss_of)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return state.replace(
+                step=state.step + 1, params=params, opt_state=opt_state
+            ), loss
+
+        return train_step
+
+    bt1 = pack(1)
+    _stamp("init model")
     variables = jax.jit(model.init)(
-        jax.random.PRNGKey(0), bt["x"], bt["coords"], bt["valid"]
+        jax.random.PRNGKey(0), bt1["x"][0], bt1["coords"][0], bt1["valid"][0]
     )
     jax.block_until_ready(variables)
-    _stamp("init done; building optimizer")
-    tx = make_optimizer("adam", lr=1e-2)
-    state = TrainState.create(variables, tx, jax.random.PRNGKey(1))
+    state0 = TrainState.create(variables, tx, jax.random.PRNGKey(1))
 
-    @jax.jit
-    def train_step(state, bt):
-        def loss_of(params):
-            out = model.apply(
-                {"params": params, "constants": state.constants},
-                bt["x"], bt["coords"], bt["valid"],
-            )
-            return infonce_loss(
-                out, bt["pairs"], bt["pair_mask"], bt["cluster_ids"],
-                bt["recons"], bt["pts"],
-            )
+    results = {}
+    cost = {}
+    for b in BATCH_SIZES:
+        bt = pack(b)
+        step = make_step(b)
+        state = state0
+        _stamp(f"compile B={b}")
+        try:
+            lowered = step.lower(state, bt)
+            compiled = lowered.compile()
+            ca = compiled.cost_analysis() or {}
+            cost[b] = {
+                "flops": float(ca.get("flops", 0.0)),
+                "bytes": float(ca.get("bytes accessed", 0.0)),
+            }
+        except Exception:
+            cost[b] = {"flops": 0.0, "bytes": 0.0}
+        state, loss = step(state, bt)
+        final = float(loss)  # host-read fence (block_until_ready can return
+        # early through the remote tunnel)
+        for _ in range(WARMUP - 1):
+            state, loss = step(state, bt)
+        float(loss)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            state, loss = step(state, bt)
+        final = float(loss)
+        dt = (time.perf_counter() - t0) / ITERS
+        results[b] = (dt, final)
+        _stamp(f"B={b}: {dt*1e3:.1f} ms/step, {b*N_POINTS/dt:,.0f} pts/s")
 
-        loss, grads = jax.value_and_grad(loss_of)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return state.replace(step=state.step + 1, params=params, opt_state=opt_state), loss
+    best_b = max(BATCH_SIZES, key=lambda b: b * N_POINTS / results[b][0])
+    dt_best, loss_best = results[best_b]
+    pps = best_b * N_POINTS / dt_best
+    dt1 = results[1][0]
 
-    # compile + warmup. NOTE: timing boundaries fetch the loss scalar to
-    # host — on the remote TPU backend block_until_ready can return before
-    # execution completes, so a device->host value read is the only reliable
-    # fence (float() forces it).
-    _stamp("compiling train step")
-    state, loss = train_step(state, bt)
-    float(loss)
-    _stamp("train step compiled")
-    for _ in range(WARMUP - 1):
-        state, loss = train_step(state, bt)
-    float(loss)
-
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, loss = train_step(state, bt)
-    final_loss = float(loss)
-    dt = (time.perf_counter() - t0) / ITERS
-
-    # forward-only latency (reference example.ipynb cells 9-10 equivalent)
+    # forward-only latency, single event (reference example.ipynb cells 9-10)
     fwd = jax.jit(
         lambda p, c, bt: model.apply(
-            {"params": p, "constants": c}, bt["x"], bt["coords"], bt["valid"]
+            {"params": p, "constants": c}, bt["x"][0], bt["coords"][0],
+            bt["valid"][0],
         )
     )
-    out = fwd(state.params, state.constants, bt)
+    out = fwd(state0.params, state0.constants, bt1)
     float(out.sum())
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = fwd(state.params, state.constants, bt)
+        out = fwd(state0.params, state0.constants, bt1)
     float(out.sum())
     fwd_ms = (time.perf_counter() - t0) / ITERS * 1e3
 
-    pps = N_POINTS / dt
+    cb = cost.get(best_b, {})
+    mfu = (cb.get("flops", 0.0) / dt_best) / V5E_PEAK_FLOPS if on_tpu else 0.0
+    hbm_gbs = cb.get("bytes", 0.0) / dt_best / 1e9
+
     print(
         json.dumps(
             {
@@ -151,10 +204,16 @@ def main():
                 "value": round(pps, 1),
                 "unit": "points/sec",
                 "vs_baseline": round(pps / A100_TRAIN_POINTS_PER_SEC, 3),
-                "step_ms": round(dt * 1e3, 2),
+                "batch_events": best_b,
+                "step_ms": round(dt_best * 1e3, 2),
+                "step_ms_b1": round(dt1 * 1e3, 2),
                 "fwd_ms": round(fwd_ms, 2),
+                "mfu": round(mfu, 4),
+                "hbm_gb_per_s": round(hbm_gbs, 1),
+                "flops_per_step": cb.get("flops", 0.0),
+                "bytes_per_step": cb.get("bytes", 0.0),
                 "backend": jax.default_backend(),
-                "loss": final_loss,
+                "loss": loss_best,
             }
         )
     )
