@@ -45,6 +45,49 @@ def _ceil_to(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def window_pad_pairs(pairs: np.ndarray, group: int = 128) -> tuple[np.ndarray, np.ndarray]:
+    """Repartition anchor-sorted pairs into aligned `group`-pair windows such
+    that within every window, max(anchor) - min(anchor) < group.
+
+    This is the invariant the windowed one-hot MXU kernels need
+    (ops/pair_ops.py): each 128-pair window touches at most 128 consecutive
+    embedding rows, so gathers/scatter-adds become dense (128, 128) matmuls
+    against a dynamically-sliced window. Pads inserted to break windows copy
+    the NEXT real pair (keeping the anchor column sorted) and are masked.
+
+    Args: pairs (2, E) anchor-sorted. Returns (padded_pairs (2, E'), mask
+    (E',)) with E' a multiple of `group`.
+    """
+    p0 = pairs[0]
+    e = p0.shape[0]
+    if e == 0:
+        return pairs.reshape(2, 0), np.zeros((0,), bool)
+    # greedy run construction: a run starting at i extends to
+    # min(i + group, first j with p0[j] >= p0[i] + group)
+    limit = np.searchsorted(p0, p0 + group, side="left")  # (E,)
+    starts = []
+    i = 0
+    while i < e:
+        starts.append(i)
+        i = min(i + group, int(limit[i]))
+    starts.append(e)
+    n_runs = len(starts) - 1
+    out = np.empty((2, n_runs * group), dtype=pairs.dtype)
+    mask = np.zeros(n_runs * group, bool)
+    for r in range(n_runs):
+        s, t = starts[r], starts[r + 1]
+        ln = t - s
+        blk = out[:, r * group : (r + 1) * group]
+        blk[:, :ln] = pairs[:, s:t]
+        if ln < group:
+            # pad with the next real pair (anchor order stays sorted); the
+            # final run pads with its own last pair
+            src = pairs[:, t] if t < e else pairs[:, t - 1]
+            blk[:, ln:] = src[:, None]
+        mask[r * group : r * group + ln] = True
+    return out, mask
+
+
 def pack_events(
     events: Sequence[Event],
     block_size: int,
@@ -52,6 +95,7 @@ def pack_events(
     e_max: int | None = None,
     aug_pair_p: float = 0.0,
     aug_rng: np.random.Generator | None = None,
+    window_pairs: int = 0,
 ) -> dict:
     """Pack events into dense arrays.
 
@@ -111,18 +155,22 @@ def pack_events(
                     rnd = aug_rng.integers(0, ni, (2, n_aug))
                     both = np.concatenate([rnd, rnd[::-1]], axis=1)
                     pairs = np.concatenate([pairs, both], axis=1)
+            # anchor-sorted pairs: the loss's per-anchor segment sums become
+            # sorted-segment reductions and the anchor gathers become
+            # near-contiguous (the InfoNCE hot-path lever). Order is
+            # semantically irrelevant (all reductions are order-invariant).
+            order = np.argsort(pairs[0], kind="stable")
+            pairs = pairs[:, order]
+            pmask = None
+            if window_pairs:
+                pairs, pmask = window_pad_pairs(pairs, window_pairs)
             ei = pairs.shape[1]
             take = min(ei, out["pairs"].shape[2])
             dropped += ei - take
-            pairs = pairs[:, :take]
-            # anchor-sorted pairs: the loss's per-anchor segment sums become
-            # sorted-segment reductions and the anchor gathers become
-            # near-contiguous (the InfoNCE hot-path lever; train/losses.py
-            # exploits it via indices_are_sorted). Order is semantically
-            # irrelevant (all reductions are order-invariant).
-            order = np.argsort(pairs[0], kind="stable")
-            out["pairs"][i, :, :take] = pairs[:, order]
-            out["pair_mask"][i, :take] = True
+            out["pairs"][i, :, :take] = pairs[:, :take]
+            out["pair_mask"][i, :take] = (
+                pmask[:take] if pmask is not None else True
+            )
     if dropped:
         import logging
 

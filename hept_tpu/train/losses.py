@@ -36,19 +36,32 @@ def infonce_loss(
     tau: float = 0.05,
     dist_metric: str = "l2_rbf",
     pt_thres: float = 0.9,
+    windowed_pairs: bool = False,
 ) -> Array:
     """Contrastive InfoNCE over supervision pairs (reference losses.py:8-54).
 
     Args:
       embeddings: (N, d).
-      pairs: (2, E) point-index pairs (padded; pad entries may repeat index 0).
+      pairs: (2, E) point-index pairs (padded; pads repeat a real/last index).
       pair_mask: (E,) bool — real pairs.
       cluster_ids: (N,) dense particle ids in [0, N); 0 = noise.
       recons, pts: (N,) reconstructability flags / transverse momenta.
+      windowed_pairs: the caller guarantees the pack-time 128-window layout
+        (data/batching.py window_pad_pairs); anchor-side gathers/segment sums
+        then use the windowed MXU kernels (ops/pair_ops.py) instead of XLA
+        element scatter — the loss backward's dominant cost.
     Returns: scalar loss (mean over clusters of per-cluster mean pos-pair loss).
     """
     n = embeddings.shape[0]
     p0, p1 = pairs[0], pairs[1]
+    if windowed_pairs:
+        from ..ops.pair_ops import anchor_segment_sum, pair_gather
+
+        gather0 = lambda x: pair_gather(x, p0)  # noqa: E731
+        seg0 = lambda v: anchor_segment_sum(v, p0, n)  # noqa: E731
+    else:
+        gather0 = lambda x: x[p0]  # noqa: E731
+        seg0 = lambda v: jax.ops.segment_sum(v, p0, num_segments=n)  # noqa: E731
 
     same_cluster = cluster_ids[p0] == cluster_ids[p1]
     pos_mask = same_cluster & pair_filter(cluster_ids, pairs, recons, pts, pt_thres)
@@ -63,17 +76,18 @@ def infonce_loss(
         # NaN (0 * NaN stays NaN through the masking `where`s).
         return jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
 
+    e0 = gather0(embeddings)
+    e1 = embeddings[p1]
     if dist_metric == "cosine":
-        e0, e1 = embeddings[p0], embeddings[p1]
         sim = jnp.sum(e0 * e1, -1) / jnp.maximum(
             safe_norm(e0) * safe_norm(e1), 1e-8
         )
     elif dist_metric == "l2_rbf":
-        d = safe_norm(embeddings[p0] - embeddings[p1])
+        d = safe_norm(e0 - e1)
         sigma = 0.75
         sim = jnp.exp(-d / (2 * sigma**2))
     elif dist_metric == "l2_inverse":
-        d = safe_norm(embeddings[p0] - embeddings[p1])
+        d = safe_norm(e0 - e1)
         sim = 1.0 / (d + 1.0)
     else:
         raise NotImplementedError(dist_metric)
@@ -83,11 +97,9 @@ def infonce_loss(
     exp_sim = jnp.exp(logit - jax.lax.stop_gradient(max_sim))
 
     # Per-anchor negative mass, then looked up per positive pair.
-    neg_sum = jax.ops.segment_sum(
-        jnp.where(neg_mask, exp_sim, 0.0), p0, num_segments=n
-    )
+    neg_sum = seg0(jnp.where(neg_mask, exp_sim, 0.0))
     numerator = exp_sim
-    denominator = neg_sum[p0]
+    denominator = gather0(neg_sum[:, None])[:, 0]
     loss_per_pair = -jnp.log(numerator / (numerator + denominator + 1e-30) + 1e-30)
 
     # Per-cluster mean of positive-pair losses, then mean over non-empty
