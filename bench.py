@@ -96,7 +96,8 @@ def main():
     tx = make_optimizer("adam", lr=1e-2)
 
     def pack(b):
-        batch = pack_events(events[:b], block_size=100)
+        # 128-window pair layout: the loss uses the windowed MXU pair ops
+        batch = pack_events(events[:b], block_size=100, window_pairs=128)
         keys = ("x", "coords", "valid", "pairs", "pair_mask", "cluster_ids",
                 "recons", "pts")
         return {k: jnp.asarray(batch[k]) for k in keys}
@@ -122,11 +123,17 @@ def main():
                     )
                 import jax.numpy as jnp
 
-                losses = jax.vmap(infonce_loss)(
-                    out, bt["pairs"], bt["pair_mask"], bt["cluster_ids"],
-                    bt["recons"], bt["pts"],
-                )
-                return losses.mean()
+                # unrolled per-event losses (vmap of the Pallas windowed
+                # pair ops would add a batched grid dim; B is tiny here)
+                losses = [
+                    infonce_loss(
+                        out[i], bt["pairs"][i], bt["pair_mask"][i],
+                        bt["cluster_ids"][i], bt["recons"][i], bt["pts"][i],
+                        windowed_pairs=True,
+                    )
+                    for i in range(b)
+                ]
+                return sum(losses) / len(losses)
 
             loss, grads = jax.value_and_grad(loss_of)(state.params)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -31,7 +31,8 @@ class SplitDataset:
                      n_max: int | None = None, e_max: int | None = None,
                      shuffle_rng: np.random.Generator | None = None,
                      drop_last: bool | None = None,
-                     aug_pair_p: float = 0.0):
+                     aug_pair_p: float = 0.0,
+                     window_pairs: int = 0):
         """Yield packed batches. Training (shuffle_rng set) drops a trailing
         partial batch by default (static shapes + DP divisibility); eval keeps
         it so small splits still produce metrics. `aug_pair_p` appends fresh
@@ -52,6 +53,7 @@ class SplitDataset:
                 batch_events, block_size, n_max=n_max, e_max=e_max,
                 aug_pair_p=aug_pair_p if shuffle_rng is not None else 0.0,
                 aug_rng=shuffle_rng,
+                window_pairs=window_pairs,
             )
 
 

@@ -61,6 +61,7 @@ class HeptAttention(nn.Module):
     impl: str = "xla"  # "xla" | "pallas"
     sort_pack: bool = False  # move sort payloads as bf16 pairs (fast mode)
     sort_ops: int = 1  # payload operands per sort call (less key traffic)
+    unsort_pack: bool = False  # bf16-packed numerator/denominator unsort
     # Tensor parallelism over heads (parallel/tp.py): when set, this module
     # runs on a per-chip head slice (num_heads = global // axis size; w_q/w_k/
     # w_v/w_rpe/alpha arrive pre-sliced by shard_map) and all-gathers the
@@ -110,6 +111,7 @@ class HeptAttention(nn.Module):
                 impl=self.impl,
                 sort_pack=self.sort_pack,
                 sort_ops=self.sort_ops,
+                unsort_pack=self.unsort_pack,
             )  # (h, d, n)
             out = out.reshape(h * d, n).T
             if self.head_axis is not None:
@@ -157,6 +159,7 @@ class HeptAttention(nn.Module):
             impl=self.impl,
             sort_pack=self.sort_pack,
             sort_ops=self.sort_ops,
+            unsort_pack=self.unsort_pack,
         )  # (h, d, n)
         out = out.reshape(h * d, n).T
         if self.head_axis is not None:

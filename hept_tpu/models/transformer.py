@@ -50,6 +50,11 @@ class TransformerConfig:
     attn_impl: str = "xla"  # "xla" | "pallas"
     sort_pack: bool = False  # bf16-packed sort payloads in HEPT attention
     sort_ops: int = 1  # payload operands per sort call (see grouped_sort_carry)
+    # bf16-packed unsort of the attention numerator/denominator (the
+    # OR-combine accumulands): halves the unsort's sort traffic at ~0.4%
+    # relative rounding on pre-out_linear activations (inputs already move
+    # as bf16 under sort_pack). Convergence-validated on synthetic tracking.
+    unsort_pack: bool = False
     # Sort the shared [x|coords] columns per key order and apply w_q/w_k/w_v
     # AFTER the bucket sort (60 sorted columns/layer instead of 84 — the
     # sort-traffic lever; ops/bucket_attn.py hept_attention_core_xcols).
@@ -137,6 +142,7 @@ def _make_attention(cfg: TransformerConfig):
             impl=cfg.attn_impl,
             sort_pack=cfg.sort_pack,
             sort_ops=cfg.sort_ops,
+            unsort_pack=cfg.unsort_pack,
             head_axis=cfg.head_axis,
             post_sort=cfg.qkv_post_sort,
             **common,

@@ -197,7 +197,8 @@ def bucket_rbf_attention_cols_xla(sq: Array, sk: Array, sv: Array, block_size: i
     return denom.reshape(r, 1, n), so.reshape(r, dv, n)
 
 
-@partial(jax.jit, static_argnames=("block_size", "impl", "sort_pack", "sort_ops"))
+@partial(jax.jit, static_argnames=("block_size", "impl", "sort_pack",
+                                       "sort_ops", "unsort_pack"))
 def hept_attention_core_cols(
     q_hat: Array,
     k_hat: Array,
@@ -210,6 +211,7 @@ def hept_attention_core_cols(
     impl: str = "xla",
     sort_pack: bool = False,
     sort_ops: int = 1,
+    unsort_pack: bool = False,
 ) -> Array:
     """Column-major HEPT attention pipeline (the TPU hot path).
 
@@ -267,16 +269,19 @@ def hept_attention_core_cols(
         denom, so = bucket_rbf_attention_cols_xla(sq, sk, sv, block_size)
 
     od = jnp.concatenate([so, denom], axis=1).reshape(c, h, dv + 1, n)
-    # The unsort stays f32 even when sort_pack: numerator/denominator are
-    # the OR-combine accumulands and bf16 rounding there costs accuracy for
-    # negligible time (same rationale as the row-major path above).
-    (od_unsorted,), _ = grouped_sort_carry([q_src], [od], pack=False,
+    # By default the unsort stays f32 even when sort_pack: numerator and
+    # denominator are the OR-combine accumulands and bf16 rounding there is
+    # an accuracy/traffic trade-off. unsort_pack=True opts into bf16-packed
+    # unsorting (explicit, consistent across both cols pipelines; the
+    # inputs already moved as bf16 under sort_pack).
+    (od_unsorted,), _ = grouped_sort_carry([q_src], [od], pack=unsort_pack,
                                            n_ops=sort_ops)
     o, logits = od_unsorted[:, :, :dv], od_unsorted[:, :, dv:]
     return stable_ratio(o.sum(axis=0), logits.sum(axis=0))
 
 
-@partial(jax.jit, static_argnames=("block_size", "impl", "sort_pack", "sort_ops"))
+@partial(jax.jit, static_argnames=("block_size", "impl", "sort_pack",
+                                   "sort_ops", "unsort_pack"))
 def hept_attention_core_xcols(
     x_cols: Array,
     coords_cols: Array,
@@ -292,6 +297,7 @@ def hept_attention_core_xcols(
     impl: str = "xla",
     sort_pack: bool = False,
     sort_ops: int = 1,
+    unsort_pack: bool = False,
 ) -> Array:
     """Post-sort-projection HEPT pipeline: sort the SHARED pre-projection
     activations instead of per-head q̂/k̂/v.
@@ -381,7 +387,8 @@ def hept_attention_core_xcols(
         denom, so = bucket_rbf_attention_cols_xla(sq, sk, sv, block_size)
 
     od = jnp.concatenate([so, denom], axis=1).reshape(c, h, dv + 1, n)
-    (od_unsorted,), _ = grouped_sort_carry([q_src], [od], pack=False,
+    # unsort precision: see hept_attention_core_cols
+    (od_unsorted,), _ = grouped_sort_carry([q_src], [od], pack=unsort_pack,
                                            n_ops=sort_ops)
     o, logits = od_unsorted[:, :, :dv], od_unsorted[:, :, dv:]
     return stable_ratio(o.sum(axis=0), logits.sum(axis=0))

@@ -68,6 +68,10 @@ class ExperimentConfig:
     # Train-time random supervision-pair augmentation fraction (reference
     # tracking_trainer.py process_data p=0.2; tracking only).
     pair_aug_p: float = 0.2
+    # Pack pairs in the 128-window layout and use the windowed MXU pair ops
+    # in the InfoNCE loss (ops/pair_ops.py) — replaces XLA element
+    # scatter-add in the loss backward. Tracking only.
+    windowed_pairs: bool = True
     # "vmap": dense per-event vmap; "flat": concatenate the event batch into
     # one forward with batch-index AND codes (reference example design) —
     # much faster for small events, where the per-sort-call latency floor

@@ -54,18 +54,19 @@ def make_loss_fn(cfg: ExperimentConfig):
                         margin=cfg.loss_kwargs.get("margin", 0.5),
                     )
                 return infonce_loss(
-                    out, pairs, pmask, cid, recons, pts, tau=tau, dist_metric=dist
+                    out, pairs, pmask, cid, recons, pts, tau=tau,
+                    dist_metric=dist, windowed_pairs=cfg.windowed_pairs,
                 )
 
-            losses = jax.vmap(per_event)(
-                outputs,
-                batch["pairs"],
-                batch["pair_mask"],
-                batch["cluster_ids"],
-                batch["recons"],
-                batch["pts"],
-            )
-            return jnp.mean(losses)
+            args = (outputs, batch["pairs"], batch["pair_mask"],
+                    batch["cluster_ids"], batch["recons"], batch["pts"])
+            if cfg.windowed_pairs and not use_triplet:
+                # unrolled per-event losses: vmapping the Pallas windowed
+                # pair ops would add a batched grid dim; B is small
+                b = outputs.shape[0]
+                losses = [per_event(*(a[i] for a in args)) for i in range(b)]
+                return sum(losses) / len(losses)
+            return jnp.mean(jax.vmap(per_event)(*args))
 
         return loss_fn
 
@@ -179,7 +180,8 @@ def evaluate(cfg, model_apply, variables, dataset: SplitDataset, split: str,
         losses = []
         loss_fn = make_loss_fn(cfg)
         for batch in dataset.iter_batches(split, cfg.batch_size, block_size,
-                                          n_max=n_max, e_max=e_max):
+                                          n_max=n_max, e_max=e_max,
+                                          window_pairs=128 if cfg.windowed_pairs else 0):
             jb = jax.tree_util.tree_map(jnp.asarray, batch)
             out = eval_apply(variables, jb)
             losses.append(float(loss_fn(out, jb)))
@@ -237,6 +239,10 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
     if e_max and cfg.task == "tracking" and cfg.pair_aug_p > 0:
         # headroom for train-time random pair augmentation (process_data)
         e_max += 2 * int(e_max * cfg.pair_aug_p / 2)
+    if e_max and cfg.task == "tracking" and cfg.windowed_pairs:
+        # 128-window pair layout: pad headroom for window breaks (measured
+        # ~0-1% on radius-graph pairs) and round to whole windows
+        e_max = _ceil(e_max + max(256, e_max // 16), 128)
 
     model, model_cfg = build_model(cfg, dataset.in_dim, dataset.coords_dim)
     model_apply = make_model_apply(model, model_cfg, batch_mode=cfg.batch_mode)
@@ -350,6 +356,7 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
             "train", cfg.batch_size, block_size, n_max=n_max, e_max=e_max or None,
             shuffle_rng=data_rng,
             aug_pair_p=cfg.pair_aug_p if cfg.task == "tracking" else 0.0,
+            window_pairs=128 if (cfg.task == "tracking" and cfg.windowed_pairs) else 0,
         )
         for sb in prefetch(batches, transfer=transfer_fn):
             state, metrics = train_step(state, sb)

@@ -280,3 +280,19 @@ class TestPostSortProjections:
         # projection kernels receive gradient through the post-sort path
         gq = g["block_0"]["w_q"]["kernel"]
         assert float(jnp.abs(gq).max()) > 0
+
+
+def test_unsort_pack_close_to_f32():
+    """unsort_pack moves the OR-combine accumulands as bf16 pairs; outputs
+    must stay within bf16-rounding distance of the f32 unsort."""
+    import dataclasses
+
+    model, cfg, variables, x, coords, valid = _make(
+        {"padding_mode": "replicate", "sort_pack": True}, n=64
+    )
+    m2 = HeptTransformer(dataclasses.replace(cfg, unsort_pack=True))
+    o1 = np.asarray(model.apply(variables, x, coords, valid))
+    o2 = np.asarray(m2.apply(variables, x, coords, valid))
+    scale = np.abs(o1).max()
+    assert np.abs(o1 - o2).max() < 0.02 * scale
+    assert np.isfinite(o2).all()
