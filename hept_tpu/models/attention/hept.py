@@ -68,6 +68,11 @@ class HeptAttention(nn.Module):
     # per-head outputs over this mesh axis before the full out_linear. Each
     # head's hash/sort/attend path is chip-local — the only collective.
     head_axis: str | None = None
+    # Intra-event hash parallelism (parallel/tp.py): the mesh axis the
+    # n_hashes OR rounds shard over; codes/alpha arrive pre-sliced and the
+    # OR-combine numerator/denominator sums psum over this axis inside the
+    # attention core.
+    hash_axis: str | None = None
     # Post-sort projections (ops/bucket_attn.py hept_attention_core_xcols):
     # the caller passes the SHARED normed hidden state as `query` plus the
     # per-head projection kernels (wq/wk/wv kwargs); the sort moves
@@ -112,6 +117,7 @@ class HeptAttention(nn.Module):
                 sort_pack=self.sort_pack,
                 sort_ops=self.sort_ops,
                 unsort_pack=self.unsort_pack,
+                hash_axis=self.hash_axis,
             )  # (h, d, n)
             out = out.reshape(h * d, n).T
             if self.head_axis is not None:
@@ -160,6 +166,7 @@ class HeptAttention(nn.Module):
             sort_pack=self.sort_pack,
             sort_ops=self.sort_ops,
             unsort_pack=self.unsort_pack,
+            hash_axis=self.hash_axis,
         )  # (h, d, n)
         out = out.reshape(h * d, n).T
         if self.head_axis is not None:

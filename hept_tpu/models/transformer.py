@@ -84,6 +84,9 @@ class TransformerConfig:
     # step on the LOCAL model config — the mesh axis name the per-chip head
     # slice all-gathers over before out_linear. None = single-chip semantics.
     head_axis: Optional[str] = None
+    # Intra-event hash parallelism: mesh axis the OR-hash rounds shard over
+    # (set by the TP train step on the LOCAL config; parallel/tp.py).
+    hash_axis: Optional[str] = None
 
 
 class PELearned(nn.Module):
@@ -144,6 +147,7 @@ def _make_attention(cfg: TransformerConfig):
             sort_ops=cfg.sort_ops,
             unsort_pack=cfg.unsort_pack,
             head_axis=cfg.head_axis,
+            hash_axis=cfg.hash_axis,
             post_sort=cfg.qkv_post_sort,
             **common,
         )
@@ -524,7 +528,15 @@ def _prepare_event(x, coords, valid, regions, cfg: TransformerConfig):
 
     n_total = x.shape[0]
     n_valid = valid.sum()
-    code00 = jnp.where(valid, codes[0, 0], jnp.iinfo(jnp.int32).max)
+    code00 = codes[0, 0]
+    # Model-sharded runs (parallel/tp.py) must agree on the replication-pad
+    # plan across shards — the reference derives it from GLOBAL hash 0 /
+    # head 0 (example/transformer.py:59) — so broadcast shard 0's codes.
+    if cfg.head_axis is not None:
+        code00 = jax.lax.all_gather(code00, cfg.head_axis)[0]
+    if cfg.hash_axis is not None:
+        code00 = jax.lax.all_gather(code00, cfg.hash_axis)[0]
+    code00 = jnp.where(valid, code00, jnp.iinfo(jnp.int32).max)
     sorted_code_idx = jnp.argsort(code00)
     gather, _, inert = replication_pad_plan(
         n_valid, n_total, cfg.block_size, sorted_code_idx

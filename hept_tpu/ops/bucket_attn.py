@@ -198,7 +198,7 @@ def bucket_rbf_attention_cols_xla(sq: Array, sk: Array, sv: Array, block_size: i
 
 
 @partial(jax.jit, static_argnames=("block_size", "impl", "sort_pack",
-                                       "sort_ops", "unsort_pack"))
+                                   "sort_ops", "unsort_pack", "hash_axis"))
 def hept_attention_core_cols(
     q_hat: Array,
     k_hat: Array,
@@ -212,6 +212,7 @@ def hept_attention_core_cols(
     sort_pack: bool = False,
     sort_ops: int = 1,
     unsort_pack: bool = False,
+    hash_axis: str | None = None,
 ) -> Array:
     """Column-major HEPT attention pipeline (the TPU hot path).
 
@@ -277,11 +278,17 @@ def hept_attention_core_cols(
     (od_unsorted,), _ = grouped_sort_carry([q_src], [od], pack=unsort_pack,
                                            n_ops=sort_ops)
     o, logits = od_unsorted[:, :, :dv], od_unsorted[:, :, dv:]
-    return stable_ratio(o.sum(axis=0), logits.sum(axis=0))
+    o_sum, l_sum = o.sum(axis=0), logits.sum(axis=0)
+    if hash_axis is not None:
+        # OR-combine across hash shards (intra-event hash parallelism,
+        # parallel/tp.py): numerator/denominator sums ride ONE psum each.
+        o_sum = jax.lax.psum(o_sum, hash_axis)
+        l_sum = jax.lax.psum(l_sum, hash_axis)
+    return stable_ratio(o_sum, l_sum)
 
 
 @partial(jax.jit, static_argnames=("block_size", "impl", "sort_pack",
-                                   "sort_ops", "unsort_pack"))
+                                   "sort_ops", "unsort_pack", "hash_axis"))
 def hept_attention_core_xcols(
     x_cols: Array,
     coords_cols: Array,
@@ -298,6 +305,7 @@ def hept_attention_core_xcols(
     sort_pack: bool = False,
     sort_ops: int = 1,
     unsort_pack: bool = False,
+    hash_axis: str | None = None,
 ) -> Array:
     """Post-sort-projection HEPT pipeline: sort the SHARED pre-projection
     activations instead of per-head q̂/k̂/v.
@@ -391,4 +399,8 @@ def hept_attention_core_xcols(
     (od_unsorted,), _ = grouped_sort_carry([q_src], [od], pack=unsort_pack,
                                            n_ops=sort_ops)
     o, logits = od_unsorted[:, :, :dv], od_unsorted[:, :, dv:]
-    return stable_ratio(o.sum(axis=0), logits.sum(axis=0))
+    o_sum, l_sum = o.sum(axis=0), logits.sum(axis=0)
+    if hash_axis is not None:
+        o_sum = jax.lax.psum(o_sum, hash_axis)
+        l_sum = jax.lax.psum(l_sum, hash_axis)
+    return stable_ratio(o_sum, l_sum)

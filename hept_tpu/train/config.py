@@ -65,6 +65,10 @@ class ExperimentConfig:
     # ("data", "heads") mesh. 1 = off. HEPT only; must divide num_heads and
     # n_devices.
     shard_heads: int = 1
+    # Hash-sharded (OR-round) intra-event parallelism: shard n_hashes over
+    # this many devices, composed with DP and head sharding on a
+    # ("data", "hashes", "heads") mesh. 1 = off. HEPT only.
+    shard_hashes: int = 1
     # Train-time random supervision-pair augmentation fraction (reference
     # tracking_trainer.py process_data p=0.2; tracking only).
     pair_aug_p: float = 0.2

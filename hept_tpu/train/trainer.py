@@ -294,25 +294,31 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
     state = TrainState.create(variables, tx, state_rng)
 
     n_dev = cfg.n_devices
-    sh = max(1, int(cfg.shard_heads))
+    sh = max(1, int(cfg.shard_heads)) * max(1, int(cfg.shard_hashes))
     if n_dev is None:
         # largest device count that evenly divides the event batch (times the
-        # head-shard factor when TP is on)
+        # model-shard factor when TP is on)
         avail = len(jax.devices())
         n_dev = sh * max(
             d for d in range(1, avail // sh + 1) if cfg.batch_size % d == 0
         )
     loss_fn = make_loss_fn(cfg)
     if sh > 1:
-        # DP x head-TP on a ("data", "heads") mesh (parallel/tp.py).
+        # DP x hash-TP x head-TP on a ("data","hashes","heads") mesh
+        # (parallel/tp.py).
         from ..parallel.tp import make_tp_train_step, shard_batch_2d
         from ..models import HeptTransformer
 
-        assert n_dev % sh == 0, f"n_devices {n_dev} not divisible by shard_heads {sh}"
-        assert cfg.batch_mode == "vmap", "shard_heads requires batch_mode='vmap'"
-        mesh = make_mesh(n_dev, ("data", "heads"), (n_dev // sh, sh))
+        heads = max(1, int(cfg.shard_heads))
+        hashes = max(1, int(cfg.shard_hashes))
+        assert n_dev % sh == 0, f"n_devices {n_dev} not divisible by model shards {sh}"
+        assert cfg.batch_mode == "vmap", "shard_heads/hashes require batch_mode='vmap'"
+        mesh = make_mesh(
+            n_dev, ("data", "hashes", "heads"), (n_dev // sh, hashes, heads)
+        )
         train_step = make_tp_train_step(
-            HeptTransformer, model_cfg, loss_fn, tx, mesh, variables
+            HeptTransformer, model_cfg, loss_fn, tx, mesh, variables,
+            head_axis="heads", hash_axis="hashes",
         )
         transfer_fn = lambda b: shard_batch_2d(b, mesh)  # noqa: E731
     elif n_dev == 1:

@@ -168,3 +168,71 @@ def test_tp_head_sharded_train_step_matches_dp():
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
             err_msg=f"{pa}",
         )
+
+
+def test_tp_hash_and_head_sharded_matches_dp():
+    """DP x hash-TP x head-TP on a (2,2,2) mesh matches 2-way DP — including
+    events whose size is NOT a block multiple (replication pads must use the
+    shard-invariant global hash-0/head-0 code plan)."""
+    import numpy as np
+    import optax
+
+    from hept_tpu.data.batching import pack_events
+    from hept_tpu.data.synthetic import synthetic_tracking_event
+    from hept_tpu.parallel.dp import make_dp_train_step, shard_batch
+    from hept_tpu.parallel.mesh import make_mesh
+    from hept_tpu.parallel.tp import make_tp_train_step, shard_batch_2d
+    from hept_tpu.models import HeptTransformer, TransformerConfig
+    from hept_tpu.train.config import ExperimentConfig
+    from hept_tpu.train.state import TrainState
+    from hept_tpu.train.trainer import make_loss_fn, make_model_apply
+
+    rng = np.random.default_rng(0)
+    # 90 and 75 points with block 16: replication pads are REAL replicas
+    events = [synthetic_tracking_event(rng, n_points=n) for n in (90, 75)]
+    batch = pack_events(events, block_size=16, n_max=96, e_max=2048)
+
+    cfg = TransformerConfig(
+        in_dim=events[0].x.shape[1], coords_dim=events[0].coords.shape[1],
+        task="tracking", h_dim=8, num_heads=4, n_layers=2, block_size=16,
+        n_hashes=2, num_regions=9, num_w_per_dist=3, padding_mode="replicate",
+        dropout=0.0,
+    )
+    model = HeptTransformer(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch["x"][0]), jnp.asarray(batch["coords"][0]),
+        jnp.asarray(batch["valid"][0]),
+    )
+    exp = ExperimentConfig(task="tracking")
+    import optax
+
+    tx = optax.sgd(1e-2)
+    loss_fn = make_loss_fn(exp)
+
+    mesh_dp = make_mesh(2)
+    state = TrainState.create(variables, tx, jax.random.PRNGKey(1))
+    dp_step = make_dp_train_step(
+        make_model_apply(model), loss_fn, tx, mesh_dp, donate=False
+    )
+    dp_state, dp_metrics = dp_step(state, shard_batch(batch, mesh_dp))
+
+    mesh = make_mesh(8, ("data", "hashes", "heads"), (2, 2, 2))
+    state = TrainState.create(variables, tx, jax.random.PRNGKey(1))
+    tp_step = make_tp_train_step(
+        HeptTransformer, cfg, loss_fn, tx, mesh, variables,
+        head_axis="heads", hash_axis="hashes",
+    )
+    tp_state, tp_metrics = tp_step(state, shard_batch_2d(batch, mesh))
+
+    np.testing.assert_allclose(
+        float(dp_metrics["loss"]), float(tp_metrics["loss"]), rtol=1e-5
+    )
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(dp_state.params),
+        jax.tree_util.tree_leaves_with_path(tp_state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+            err_msg=f"{pa}",
+        )
