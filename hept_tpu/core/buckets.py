@@ -178,56 +178,59 @@ def _u32_to_cols(rows: Array, d: int, pack: bool) -> Array:
 
 
 def _grouped_sort_impl(keys_list, payload_list, pack, n_ops=1):
-    """ONE lax.sort call moving several column-payload groups, each ordered by
-    its own keys. See `grouped_sort_carry`.
+    """Sort several column-payload groups, each by its own keys, with
+    VARIADIC multi-operand lax.sort calls: one operand per u32 payload row
+    plus an iota operand, groups with equal row counts stacked onto one call.
 
-    n_ops > 1 spreads each group's rows over n_ops payload operands that
-    share ONE key operand (rows of a group all sort by the same keys), so the
-    duplicated-key traffic shrinks from 1x payload to 1/n_ops of it — at the
-    cost of sort-operand-count compile time (~5 s/operand on TPU, persisted
-    by the compilation cache)."""
+    Round-2 finding (scripts/probe_variadic_sort.py): XLA's TPU sort cost is
+    dominated by the per-row COMPARATOR work, not bytes — payload operands
+    ride the compare decisions nearly free. The round-1 batch-folded
+    formulation (payload rows stacked on the batch axis with duplicated
+    keys) re-ran the comparator once per payload row and measured 6x slower
+    (33 -> 5.6 ms for one layer's sorts at tracking-60k shapes). Compile
+    time grows ~linearly with operand count (~15-30 operands here, cached
+    persistently).
+
+    `n_ops` is accepted for API compatibility and ignored."""
+    del n_ops
     c, h, n = keys_list[0].shape
-    chunks = [[] for _ in range(n_ops)]
-    key_rows, metas = [], []
+    prepped = []  # (key_rows (c*h, n), u32 rows list, d, meta)
     for keys, cols in zip(keys_list, payload_list):
         if cols.ndim == 2:  # (d, n): shared across hashes AND heads
             cols = jnp.broadcast_to(cols[None, None], (c, h) + cols.shape)
         elif cols.ndim == 3:  # (h, d, n): shared across hashes
             cols = jnp.broadcast_to(cols[None], (c,) + cols.shape)
-        u32, d = _cols_to_u32(cols, pack)
-        iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.uint32), (c, h, 1, n))
-        rows = jnp.concatenate([u32, iota], axis=2)
-        rg = rows.shape[2]
-        m = -(-rg // n_ops)
-        if m * n_ops != rg:
-            rows = jnp.pad(rows, [(0, 0), (0, 0), (0, m * n_ops - rg), (0, 0)])
-        rows = rows.reshape(c, h, m, n_ops, n)
-        for j in range(n_ops):
-            chunks[j].append(rows[:, :, :, j])
-        key_rows.append(
-            jnp.broadcast_to(keys[:, :, None, :], (c, h, m, n)).astype(
-                keys_list[0].dtype
-            )
+        u32, d = _cols_to_u32(cols, pack)  # (c, h, D, n)
+        rows = [u32[:, :, j].reshape(c * h, n) for j in range(u32.shape[2])]
+        rows.append(
+            jnp.broadcast_to(jnp.arange(n, dtype=jnp.uint32), (c * h, n))
         )
-        metas.append((d, rg, m))
-    all_keys = jnp.concatenate(key_rows, axis=2)
-    ops = [jnp.concatenate(ch, axis=2) for ch in chunks]
-    # 2-D flatten around the sort: see _folded_sort for the TPU >=3-D
-    # sort slow path this avoids.
-    flat = (all_keys.shape[0] * all_keys.shape[1] * all_keys.shape[2], n)
-    sorted_ops = jax.lax.sort(
-        [all_keys.reshape(flat)] + [o.reshape(flat) for o in ops],
-        dimension=-1, num_keys=1, is_stable=False,
-    )[1:]
-    shape4 = all_keys.shape
-    sorted_ops = [o.reshape(shape4) for o in sorted_ops]
-    outs, srcs, off = [], [], 0
-    for d, rg, m in metas:
-        grp = jnp.stack([o[:, :, off : off + m] for o in sorted_ops], axis=3)
-        grp = grp.reshape(c, h, m * n_ops, n)[:, :, :rg]
-        srcs.append(grp[:, :, -1].astype(jnp.int32))
-        outs.append(_u32_to_cols(grp[:, :, :-1], d, pack))
-        off += m
+        prepped.append([keys.reshape(c * h, n), rows, d])
+
+    # one lax.sort per distinct row count; equal-width groups stack rows
+    outs = [None] * len(prepped)
+    srcs = [None] * len(prepped)
+    by_width: dict = {}
+    for gi, (kr, rows, d) in enumerate(prepped):
+        by_width.setdefault(len(rows), []).append(gi)
+    for width, gis in by_width.items():
+        keys_st = jnp.concatenate([prepped[gi][0] for gi in gis], axis=0)
+        ops = [keys_st]
+        for j in range(width):
+            ops.append(
+                jnp.concatenate([prepped[gi][1][j] for gi in gis], axis=0)
+            )
+        sorted_ops = jax.lax.sort(
+            ops, dimension=-1, num_keys=1, is_stable=False
+        )[1:]
+        for sl, gi in enumerate(gis):
+            d = prepped[gi][2]
+            rows_s = [
+                op[sl * c * h : (sl + 1) * c * h] for op in sorted_ops
+            ]
+            srcs[gi] = rows_s[-1].reshape(c, h, n).astype(jnp.int32)
+            grp = jnp.stack(rows_s[:-1], axis=1).reshape(c, h, width - 1, n)
+            outs[gi] = _u32_to_cols(grp, d, pack)
     return outs, srcs
 
 
