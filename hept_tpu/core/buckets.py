@@ -182,14 +182,16 @@ def _grouped_sort_impl(keys_list, payload_list, pack, n_ops=1):
     VARIADIC multi-operand lax.sort calls: one operand per u32 payload row
     plus an iota operand, groups with equal row counts stacked onto one call.
 
-    Round-2 finding (scripts/probe_variadic_sort.py): XLA's TPU sort cost is
-    dominated by the per-row COMPARATOR work, not bytes — payload operands
-    ride the compare decisions nearly free. The round-1 batch-folded
-    formulation (payload rows stacked on the batch axis with duplicated
-    keys) re-ran the comparator once per payload row and measured 6x slower
-    (33 -> 5.6 ms for one layer's sorts at tracking-60k shapes). Compile
-    time grows ~linearly with operand count (~15-30 operands here, cached
-    persistently).
+    Round-2 finding, re-measured honestly in scripts/probe_sort_model.py
+    (probe_variadic_sort.py's first numbers were DCE artifacts — it only
+    consumed one operand): at tracking-60k shapes (24 batch rows, n=60000)
+    a sort call costs ~3.9 ms for the comparator alone plus ~0.39 ms per
+    u32 payload operand, linear in batch rows, with a ~4-5 ms per-call
+    floor. The round-1 batch-folded formulation (payload rows stacked on
+    the batch axis with duplicated keys) re-ran the comparator once per
+    payload row: 32.2 ms vs 9.75 ms for the equivalent 16-operand variadic
+    call — 3.3x. Compile time grows ~linearly with operand count (~15-30
+    operands here, cached persistently).
 
     `n_ops` is accepted for API compatibility and ignored."""
     del n_ops
