@@ -79,6 +79,10 @@ class HeptAttention(nn.Module):
     # [x|coords] (30 cols) per key order instead of q̂/k̂v (84) — the big
     # sort-traffic lever. Numerically equal up to fp32 reordering.
     post_sort: bool = False
+    # With post_sort: bucket queries by the KEY hash order (one sorted copy,
+    # half the sort rows/operands). Reference divergence; see
+    # ops/bucket_attn.py hept_attention_core_xcols.
+    shared_sort: bool = False
 
     @nn.compact
     def __call__(self, query, key, value, *, coords, codes, w_rpe_weight,
@@ -118,6 +122,7 @@ class HeptAttention(nn.Module):
                 sort_ops=self.sort_ops,
                 unsort_pack=self.unsort_pack,
                 hash_axis=self.hash_axis,
+                shared_sort=self.shared_sort,
             )  # (h, d, n)
             out = out.reshape(h * d, n).T
             if self.head_axis is not None:

@@ -60,6 +60,12 @@ class TransformerConfig:
     # sort-traffic lever; ops/bucket_attn.py hept_attention_core_xcols).
     # Same param tree and math, fp32-reordering-level differences only.
     qkv_post_sort: bool = False
+    # TPU fast mode (requires qkv_post_sort): bucket queries by the KEY hash
+    # order — one sorted [x|coords] copy serves q, k and v, halving the
+    # dominant sort call. Diverges from the reference's independent q/k
+    # argsorts (hept.py:103-104); convergence-validated on synthetic
+    # tracking (PARITY.md divergences).
+    shared_sort: bool = False
     num_classes: int = 1  # pileup head width
     # baseline-attention knobs (reference configs/*)
     pe_type: str = "none"  # none | learned | fixed
@@ -149,6 +155,7 @@ def _make_attention(cfg: TransformerConfig):
             head_axis=cfg.head_axis,
             hash_axis=cfg.hash_axis,
             post_sort=cfg.qkv_post_sort,
+            shared_sort=cfg.shared_sort,
             **common,
         )
     if cfg.attn_type == "performer":

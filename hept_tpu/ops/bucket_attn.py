@@ -288,7 +288,8 @@ def hept_attention_core_cols(
 
 
 @partial(jax.jit, static_argnames=("block_size", "impl", "sort_pack",
-                                   "sort_ops", "unsort_pack", "hash_axis"))
+                                   "sort_ops", "unsort_pack", "hash_axis",
+                                   "shared_sort"))
 def hept_attention_core_xcols(
     x_cols: Array,
     coords_cols: Array,
@@ -306,6 +307,7 @@ def hept_attention_core_xcols(
     sort_ops: int = 1,
     unsort_pack: bool = False,
     hash_axis: str | None = None,
+    shared_sort: bool = False,
 ) -> Array:
     """Post-sort-projection HEPT pipeline: sort the SHARED pre-projection
     activations instead of per-head q̂/k̂/v.
@@ -368,9 +370,24 @@ def hept_attention_core_xcols(
         k_key = jnp.where(invalid[None, None, :], big, k_key)
 
     xc = jnp.concatenate([x_cols, coords_cols], axis=0)  # (d_model + cd, n)
-    (sxq, sxk), (q_src, _) = grouped_sort_carry(
-        [q_key, k_key], [xc, xc], pack=sort_pack, n_ops=sort_ops
-    )  # each (c, h, d_model + cd, n)
+    if shared_sort:
+        # TPU fast mode: bucket queries by the KEY hash order — one sorted
+        # copy of [x|coords] serves q, k and v, halving the sort call's
+        # comparator rows and payload operands (the call is ~60% of the
+        # step; probe_sort_model.py). Divergence from the reference, which
+        # argsorts q and k hashes separately (hept.py:103-104): a query
+        # joins the bucket its own KEY hash falls in, so q/k bucket
+        # composition is identical instead of independently chosen. The
+        # n_hashes OR rounds still diversify the grouping; convergence is
+        # validated on the synthetic tracking task (PARITY.md divergences).
+        (sxk,), (q_src,) = grouped_sort_carry(
+            [k_key], [xc], pack=sort_pack, n_ops=sort_ops
+        )
+        sxq = sxk
+    else:
+        (sxq, sxk), (q_src, _) = grouped_sort_carry(
+            [q_key, k_key], [xc, xc], pack=sort_pack, n_ops=sort_ops
+        )  # each (c, h, d_model + cd, n)
 
     def project(sx, w):
         xs, cs = sx[:, :, :d_model], sx[:, :, d_model:]

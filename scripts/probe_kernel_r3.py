@@ -40,14 +40,16 @@ def fence(x):
 
 
 def timeit(tag, f, *args, iters=20):
+    # NB: through the tunnel backend block_until_ready returns early; a host
+    # scalar read is the only reliable fence (BASELINE.md round-1 notes).
     t0 = time.perf_counter()
     out = f(*args)
-    jax.block_until_ready(out)
+    fence(jax.tree_util.tree_leaves(out)[0])
     tc = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
         out = f(*args)
-    jax.block_until_ready(out)
+    fence(jax.tree_util.tree_leaves(out)[0])
     dt = (time.perf_counter() - t0) / iters * 1e3
     print(f"{tag:<56s} {dt:8.2f} ms (compile {tc:.0f}s)", flush=True)
     return out

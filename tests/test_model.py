@@ -282,6 +282,59 @@ class TestPostSortProjections:
         assert float(jnp.abs(gq).max()) > 0
 
 
+class TestSharedSort:
+    def test_single_bucket_matches_separate(self):
+        """With one bucket covering all points, q/k order is irrelevant —
+        shared_sort must reproduce the separate-sorts output exactly (up to
+        fp32 reordering)."""
+        import dataclasses
+
+        model, cfg, _, x, coords, valid = _make(
+            {"padding_mode": "replicate", "qkv_post_sort": True}, n=64
+        )
+        cfg = dataclasses.replace(cfg, block_size=64, num_regions=1)
+        model = HeptTransformer(cfg)
+        variables = model.init(jax.random.PRNGKey(0), x, coords, valid)
+        m2 = HeptTransformer(dataclasses.replace(cfg, shared_sort=True))
+        o1 = np.asarray(model.apply(variables, x, coords, valid))
+        o2 = np.asarray(m2.apply(variables, x, coords, valid))
+        np.testing.assert_allclose(o1, o2, rtol=2e-4, atol=2e-5)
+
+    def test_forward_and_grads_finite(self):
+        model, cfg, variables, x, coords, valid = _make(
+            {"padding_mode": "replicate", "qkv_post_sort": True,
+             "shared_sort": True}, n=64
+        )
+        out = model.apply(variables, x, coords, valid)
+        assert np.isfinite(np.asarray(out)).all()
+
+        def loss(params):
+            o = model.apply(
+                {"params": params, "constants": variables["constants"]},
+                x, coords, valid,
+            )
+            return jnp.sum(o ** 2)
+
+        g = jax.grad(loss)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        gq = g["block_0"]["w_q"]["kernel"]
+        assert float(jnp.abs(gq).max()) > 0
+
+    def test_changes_bucketing_in_general(self):
+        """With many regions the q buckets genuinely differ between the two
+        modes (guards against shared_sort silently being a no-op)."""
+        import dataclasses
+
+        model, cfg, variables, x, coords, valid = _make(
+            {"padding_mode": "replicate", "qkv_post_sort": True}, n=64
+        )
+        m2 = HeptTransformer(dataclasses.replace(cfg, shared_sort=True))
+        o1 = np.asarray(model.apply(variables, x, coords, valid))
+        o2 = np.asarray(m2.apply(variables, x, coords, valid))
+        assert not np.allclose(o1, o2, rtol=1e-5, atol=1e-6)
+
+
 def test_unsort_pack_close_to_f32():
     """unsort_pack moves the OR-combine accumulands as bf16 pairs; outputs
     must stay within bf16-rounding distance of the f32 unsort."""
