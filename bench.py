@@ -90,6 +90,10 @@ def main():
             qkv_post_sort=True,  # sort [x|coords], project after the sort
             unsort_pack=True,  # bf16 OR-accumuland unsort (convergence-
             # validated: acc@0.9 0.9427 vs 0.9433 f32 on synthetic tracking)
+            shared_sort=True,  # bucket q by the key hash order: one sorted
+            # [x|coords] serves q/k/v, halving the dominant sort call
+            # (convergence-validated: acc@0.9 0.9424 vs 0.9432 separate,
+            # scripts/validate_shared_sort.py)
         )
 
     cfg = make_cfg()
