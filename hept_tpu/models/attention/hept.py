@@ -58,7 +58,7 @@ class HeptAttention(nn.Module):
     n_hashes: int
     num_w_per_dist: int
     coords_dim: int
-    impl: str = "xla"  # "xla" | "pallas"
+    impl: str = "xla"  # "xla" | "pallas" | "hybrid" (einsum fwd + pallas bwd)
     sort_pack: bool = False  # move sort payloads as bf16 pairs (fast mode)
     sort_ops: int = 1  # payload operands per sort call (less key traffic)
     unsort_pack: bool = False  # bf16-packed numerator/denominator unsort

@@ -47,7 +47,7 @@ class TransformerConfig:
     num_and_hashes: int = 2
     dropout: float = 0.1
     padding_mode: str = "zero"  # "zero" (src parity) | "replicate" (example)
-    attn_impl: str = "xla"  # "xla" | "pallas"
+    attn_impl: str = "xla"  # "xla" | "pallas" | "hybrid" (einsum fwd + pallas bwd)
     sort_pack: bool = False  # bf16-packed sort payloads in HEPT attention
     sort_ops: int = 1  # payload operands per sort call (see grouped_sort_carry)
     # bf16-packed unsort of the attention numerator/denominator (the

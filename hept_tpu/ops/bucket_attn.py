@@ -175,7 +175,8 @@ def hept_attention_core(
     return stable_ratio(o.sum(axis=0), logits.sum(axis=0))
 
 
-def bucket_rbf_attention_cols_xla(sq: Array, sk: Array, sv: Array, block_size: int):
+def bucket_rbf_attention_cols_xla(sq: Array, sk: Array, sv: Array, block_size: int,
+                                  precision=None):
     """Column-major per-bucket RBF attention, einsum path (CPU/golden).
 
     Args: sq, sk: (r, d, n); sv: (r, dv, n), n = nb * B.
@@ -187,13 +188,15 @@ def bucket_rbf_attention_cols_xla(sq: Array, sk: Array, sv: Array, block_size: i
     q = sq.reshape(r, d, nb, block_size)
     k = sk.reshape(r, d, nb, block_size)
     v = sv.reshape(r, dv, nb, block_size)
-    logits = jnp.einsum("rdgi,rdgj->rgij", q, k, preferred_element_type=jnp.float32)
+    logits = jnp.einsum("rdgi,rdgj->rgij", q, k,
+                        preferred_element_type=jnp.float32, precision=precision)
     q_sq = -0.5 * jnp.sum(q * q, axis=1)  # (r, nb, B)
     k_sq = -0.5 * jnp.sum(k * k, axis=1)
     logits = logits + q_sq[..., :, None] + k_sq[..., None, :]
     p = jnp.exp(jnp.minimum(logits, 0.0))
     denom = jnp.sum(p, axis=-1) + DENOM_EPS  # (r, nb, B)
-    so = jnp.einsum("rdgj,rgij->rdgi", v, p, preferred_element_type=jnp.float32)
+    so = jnp.einsum("rdgj,rgij->rdgi", v, p,
+                    preferred_element_type=jnp.float32, precision=precision)
     return denom.reshape(r, 1, n), so.reshape(r, dv, n)
 
 
@@ -262,10 +265,11 @@ def hept_attention_core_cols(
     sk = skv[:, :, :d_hash].reshape(c * h, d_hash, n)
     sv = skv[:, :, d_hash:].reshape(c * h, dv, n)
 
-    if impl == "pallas" and jax.default_backend() == "tpu":
+    if impl in ("pallas", "hybrid") and jax.default_backend() == "tpu":
         from .bucket_attn_pallas import bucket_rbf_attention_cols_pallas
 
-        denom, so = bucket_rbf_attention_cols_pallas(sq, sk, sv, block_size=block_size)
+        denom, so = bucket_rbf_attention_cols_pallas(
+            sq, sk, sv, block_size=block_size, hybrid=impl == "hybrid")
     else:
         denom, so = bucket_rbf_attention_cols_xla(sq, sk, sv, block_size)
 
@@ -404,10 +408,11 @@ def hept_attention_core_xcols(
         preferred_element_type=jnp.float32,
     ).reshape(c * h, dv, n)
 
-    if impl == "pallas" and jax.default_backend() == "tpu":
+    if impl in ("pallas", "hybrid") and jax.default_backend() == "tpu":
         from .bucket_attn_pallas import bucket_rbf_attention_cols_pallas
 
-        denom, so = bucket_rbf_attention_cols_pallas(sq, sk, sv, block_size=block_size)
+        denom, so = bucket_rbf_attention_cols_pallas(
+            sq, sk, sv, block_size=block_size, hybrid=impl == "hybrid")
     else:
         denom, so = bucket_rbf_attention_cols_xla(sq, sk, sv, block_size)
 

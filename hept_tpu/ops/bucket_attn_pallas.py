@@ -353,13 +353,31 @@ def _bwd_cols_kernel(
         )
 
 
-def _make_cols_pallas(bs: int):
+def _make_cols_pallas(bs: int, hybrid: bool = False):
+    if hybrid:
+        # Hybrid forward: XLA's batched einsum runs the 14400 small per-
+        # bucket matmuls as one big MXU batch (6.0 vs 10.2 ms at tracking-
+        # 60k shapes — the Pallas forward is bound by per-bucket serial MXU
+        # latency, probe_kernel_r3{,b}.py), at the cost of materializing p
+        # in HBM (~576 MB round trip, covered by the batching win). The
+        # backward stays on the fused Pallas kernel (11.2 vs 17+ ms).
+        # HIGHEST precision matches the kernels' explicit f32 request.
+        from .bucket_attn import bucket_rbf_attention_cols_xla
+
+        def _fwd(sq, sk, sv):
+            return bucket_rbf_attention_cols_xla(
+                sq, sk, sv, bs, precision=jax.lax.Precision.HIGHEST
+            )
+    else:
+        def _fwd(sq, sk, sv):
+            return _fwd_cols_impl(sq, sk, sv, bs)
+
     @jax.custom_vjp
     def f(sq, sk, sv):
-        return _fwd_cols_impl(sq, sk, sv, bs)
+        return _fwd(sq, sk, sv)
 
     def fwd(sq, sk, sv):
-        return _fwd_cols_impl(sq, sk, sv, bs), (sq, sk, sv)
+        return _fwd(sq, sk, sv), (sq, sk, sv)
 
     def bwd(residuals, grads):
         return _bwd_cols_impl(residuals, grads, bs)
@@ -371,17 +389,20 @@ def _make_cols_pallas(bs: int):
 _cols_pallas_cache: dict = {}
 
 
-def bucket_rbf_attention_cols_pallas(sq: Array, sk: Array, sv: Array, *, block_size: int):
+def bucket_rbf_attention_cols_pallas(sq: Array, sk: Array, sv: Array, *,
+                                     block_size: int, hybrid: bool = False):
     """Column-major fused per-bucket RBF attention.
 
     Args: sq, sk: (r, d, n); sv: (r, dv, n) with n = nb * B (sorted bucket
-    layout along the last axis; r = c*h grid rows).
+    layout along the last axis; r = c*h grid rows). hybrid=True runs the
+    forward as XLA batched einsums (faster; see _make_cols_pallas) and only
+    the backward as the fused Pallas kernel.
     Returns: (denom (r, 1, n), so (r, dv, n)).
     """
-    fn = _cols_pallas_cache.get(block_size)
+    fn = _cols_pallas_cache.get((block_size, hybrid))
     if fn is None:
-        fn = _make_cols_pallas(block_size)
-        _cols_pallas_cache[block_size] = fn
+        fn = _make_cols_pallas(block_size, hybrid)
+        _cols_pallas_cache[(block_size, hybrid)] = fn
     return fn(sq, sk, sv)
 
 

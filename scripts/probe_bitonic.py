@@ -3,10 +3,9 @@ multi-operand sort (the lax.sort replacement candidate):
 
   1. compare-exchange at SUBLANE strides (s >= 128): static reshapes + where
   2. compare-exchange at LANE strides (s < 128): pltpu.roll + lane masks
-  3. a full 16-stage bitonic sort of one (n=65536, 17-operand) row,
-     compile time + runtime
 
-Layout: one grid step per batch row; row data as (ops, n/128, 128) in VMEM.
+Layout: one grid step per batch row; row data as (n/128, 128) per operand in
+VMEM; all in-kernel arrays rank <= 4 (5-D views crash Mosaic).
 Workload reference: call1 of a layer's sorts = 24 rows x 16 payload ops +
 keys, n->65536: XLA lax.sort costs 9.75 ms (probe_sort_model.py).
 """
@@ -26,9 +25,10 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 N = 65536
-OPS = 8  # payload operands for the substage microbenches
+R = N // 128  # sublane rows per operand
+OPS = 8
 ROWS = 24
-REPS = 40  # substage repetitions inside the kernel to amortize DMA
+REPS = 40
 
 
 def fence(x):
@@ -50,31 +50,53 @@ def timeit(tag, f, *args, iters=10):
 
 
 rng = np.random.default_rng(0)
-keys_in = jnp.asarray(rng.standard_normal((ROWS, N)), jnp.float32)
+keys_in = jnp.asarray(rng.standard_normal((ROWS, R, 128)), jnp.float32)
 pay_in = jnp.asarray(
-    rng.integers(0, 2**31, (ROWS, OPS, N), dtype=np.int64).astype(np.uint32)
+    rng.integers(0, 2**31, (ROWS, OPS, R, 128), dtype=np.int64).astype(np.uint32)
+)
+
+SPECS = dict(
+    in_specs=[
+        pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, OPS, R, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+    ],
+    out_specs=[
+        pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, OPS, R, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+    ],
+    out_shape=[
+        jax.ShapeDtypeStruct((ROWS, R, 128), jnp.float32),
+        jax.ShapeDtypeStruct((ROWS, OPS, R, 128), jnp.uint32),
+    ],
 )
 
 
 # ---------------- 1. sublane-stride substage ----------------
 def _sublane_kernel(k_ref, p_ref, ko_ref, po_ref, *, stride, reps):
-    # views: n = a * 2 * stride; stride = sr * 128
     sr = stride // 128
-    k = k_ref[0].reshape(N // (2 * stride), 2, sr, 128)
-    p = p_ref[0].reshape(OPS, N // (2 * stride), 2, sr, 128)
+    a = N // (2 * stride)
+
+    def pair(x):  # (R, 128) -> lo, hi of shape (a, sr, 128)
+        v = x.reshape(a, 2 * sr, 128)
+        return v[:, :sr], v[:, sr:]
+
+    def unpair(lo, hi):
+        return jnp.concatenate([lo, hi], axis=1).reshape(R, 128)
+
+    k = k_ref[0]
+    ps = [p_ref[0, j] for j in range(OPS)]
     for _ in range(reps):
-        lo_k, hi_k = k[:, 0], k[:, 1]
+        lo_k, hi_k = pair(k)
         swap = lo_k > hi_k
-        new_lo = jnp.where(swap, hi_k, lo_k)
-        new_hi = jnp.where(swap, lo_k, hi_k)
-        k = jnp.stack([new_lo, new_hi], axis=1)
-        sw = swap[None]
-        lo_p, hi_p = p[:, :, 0], p[:, :, 1]
-        p = jnp.stack(
-            [jnp.where(sw, hi_p, lo_p), jnp.where(sw, lo_p, hi_p)], axis=2
-        )
-    ko_ref[0] = k.reshape(N)
-    po_ref[0] = p.reshape(OPS, N)
+        k = unpair(jnp.where(swap, hi_k, lo_k), jnp.where(swap, lo_k, hi_k))
+        for j in range(OPS):
+            lo_p, hi_p = pair(ps[j])
+            ps[j] = unpair(
+                jnp.where(swap, hi_p, lo_p), jnp.where(swap, lo_p, hi_p)
+            )
+    ko_ref[0] = k
+    for j in range(OPS):
+        po_ref[0, j] = ps[j]
 
 
 def make_sublane(stride):
@@ -82,19 +104,7 @@ def make_sublane(stride):
     def f(keys, pay):
         return pl.pallas_call(
             functools.partial(_sublane_kernel, stride=stride, reps=REPS),
-            grid=(ROWS,),
-            in_specs=[
-                pl.BlockSpec((1, N), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, OPS, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, N), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, OPS, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((ROWS, N), jnp.float32),
-                jax.ShapeDtypeStruct((ROWS, OPS, N), jnp.uint32),
-            ],
+            grid=(ROWS,), **SPECS,
         )(keys, pay)
 
     return f
@@ -102,24 +112,24 @@ def make_sublane(stride):
 
 # ---------------- 2. lane-stride substage via roll ----------------
 def _lane_kernel(k_ref, p_ref, ko_ref, po_ref, *, stride, reps):
-    k = k_ref[0].reshape(N // 128, 128)
-    p = p_ref[0].reshape(OPS, N // 128, 128)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (N // 128, 128), 1)
-    is_lo = (lane & stride) == 0  # lower partner of each pair
+    k = k_ref[0]
+    ps = [p_ref[0, j] for j in range(OPS)]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+    is_lo = (lane & stride) == 0
     for _ in range(reps):
-        k_part = pltpu.roll(k, shift=stride, axis=1)  # brings partner over
-        k_part2 = pltpu.roll(k, shift=128 - stride, axis=1)
-        partner_k = jnp.where(is_lo, k_part2, k_part)
+        k_hi = pltpu.roll(k, shift=128 - stride, axis=1)  # x[l+s] at l
+        k_lo = pltpu.roll(k, shift=stride, axis=1)  # x[l-s] at l
+        partner_k = jnp.where(is_lo, k_hi, k_lo)
         keep = jnp.where(is_lo, k <= partner_k, k >= partner_k)
         k = jnp.where(keep, k, partner_k)
         for j in range(OPS):
-            pj = p[j]
-            pj_a = pltpu.roll(pj, shift=stride, axis=1)
-            pj_b = pltpu.roll(pj, shift=128 - stride, axis=1)
-            partner_p = jnp.where(is_lo, pj_b, pj_a)
-            p = p.at[j].set(jnp.where(keep, pj, partner_p))
-    ko_ref[0] = k.reshape(N)
-    po_ref[0] = p.reshape(OPS, N)
+            pj = ps[j]
+            pj_hi = pltpu.roll(pj, shift=128 - stride, axis=1)
+            pj_lo = pltpu.roll(pj, shift=stride, axis=1)
+            ps[j] = jnp.where(keep, pj, jnp.where(is_lo, pj_hi, pj_lo))
+    ko_ref[0] = k
+    for j in range(OPS):
+        po_ref[0, j] = ps[j]
 
 
 def make_lane(stride):
@@ -127,19 +137,7 @@ def make_lane(stride):
     def f(keys, pay):
         return pl.pallas_call(
             functools.partial(_lane_kernel, stride=stride, reps=REPS),
-            grid=(ROWS,),
-            in_specs=[
-                pl.BlockSpec((1, N), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, OPS, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, N), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, OPS, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((ROWS, N), jnp.float32),
-                jax.ShapeDtypeStruct((ROWS, OPS, N), jnp.uint32),
-            ],
+            grid=(ROWS,), **SPECS,
         )(keys, pay)
 
     return f
@@ -148,15 +146,14 @@ def make_lane(stride):
 for s in (128, 512, 4096):
     try:
         f = make_sublane(s)
-        dt = None
-        out = timeit(f"sublane substage stride={s} x{REPS} (OPS={OPS})", f, keys_in, pay_in)
+        timeit("sublane substage stride=%d x%d full (keys+payload)" % (s, REPS), f, keys_in, pay_in)
     except Exception as e:
         print(f"sublane stride={s} FAILED: {type(e).__name__}: {str(e)[:160]}", flush=True)
 
 for s in (1, 8, 64):
     try:
         f = make_lane(s)
-        out = timeit(f"lane substage stride={s} x{REPS} (OPS={OPS})", f, keys_in, pay_in)
+        timeit("lane substage stride=%d x%d full (keys+payload)" % (s, REPS), f, keys_in, pay_in)
     except Exception as e:
         print(f"lane stride={s} FAILED: {type(e).__name__}: {str(e)[:160]}", flush=True)
 
