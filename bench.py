@@ -82,7 +82,8 @@ def main():
             h_dim=24, num_heads=8, n_layers=4, block_size=100, n_hashes=3,
             num_regions=150, num_w_per_dist=10,
             padding_mode="replicate",
-            attn_impl="pallas" if on_tpu else "xla",
+            attn_impl="hybrid" if on_tpu else "xla",  # einsum fwd + pallas bwd
+            # (probe_kernel_r3b.py: the Pallas fwd is serial-MXU-latency-bound)
             scan_layers=True,
             sort_pack=True,  # bf16-packed sort payloads (validated: converges
             # identically to f32 on this workload; BASELINE.md round-1 notes)
