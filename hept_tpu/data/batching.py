@@ -88,6 +88,72 @@ def window_pad_pairs(pairs: np.ndarray, group: int = 128) -> tuple[np.ndarray, n
     return out, mask
 
 
+def _symmetrize_pairs(pairs: np.ndarray, n: int) -> np.ndarray:
+    """Close the pair list under reversal and dedupe.
+
+    PyG's radius graph emits both directions; the reference's kNN-capped
+    radius pairs (tracking.py:204-209) can truncate asymmetrically. The
+    windowed-loss backward rewrites the partner-side scatter as an
+    anchor-side scatter of reversed cotangents (ops/pair_ops.partner_gather),
+    which requires every pair's reverse to be present exactly once."""
+    both = np.concatenate([pairs, pairs[::-1]], axis=1)
+    key = both[0].astype(np.int64) * n + both[1]
+    _, uniq = np.unique(key, return_index=True)
+    return both[:, np.sort(uniq)]
+
+
+def _pair_rev_index(pairs: np.ndarray, pmask: np.ndarray, n: int) -> np.ndarray:
+    """Position of each REAL pair's reverse among the real (unmasked) slots
+    of the padded windowed layout; identity for pads. Requires the real pair
+    set to be reversal-closed and duplicate-free (`_symmetrize_pairs`)."""
+    e = pairs.shape[1]
+    rev = np.arange(e, dtype=np.int32)
+    real = np.flatnonzero(pmask)
+    if real.size == 0:
+        return rev
+    key = pairs[0, real].astype(np.int64) * n + pairs[1, real]
+    rkey = pairs[1, real].astype(np.int64) * n + pairs[0, real]
+    order = np.argsort(key, kind="stable")
+    pos = np.searchsorted(key[order], rkey)
+    target = real[order[np.clip(pos, 0, real.size - 1)]]
+    ok = key[order[np.clip(pos, 0, real.size - 1)]] == rkey
+    if not ok.all():
+        raise ValueError("pair list not closed under reversal")
+    rev[real] = target.astype(np.int32)
+    return rev
+
+
+def _pair_cluster_weights(
+    pairs: np.ndarray,
+    pmask: np.ndarray,
+    cluster_ids: np.ndarray,
+    recons: np.ndarray,
+    pts: np.ndarray,
+    pt_thres: float = 0.9,
+) -> np.ndarray:
+    """Per-pair weight w_e = pos_e / |cluster(e)| / #nonempty-clusters, so the
+    in-step cluster mean-of-means (reference losses.py:35-39) collapses to one
+    dot product Σ l_e·w_e — the positive-pair weighting depends only on batch
+    data, never on embeddings, so it is precomputable at pack time."""
+    p0, p1 = pairs[0], pairs[1]
+    pos = (
+        pmask
+        & (cluster_ids[p0] == cluster_ids[p1])
+        & (recons[p0] != 0)
+        & (recons[p1] != 0)
+        & (pts[p0] > pt_thres)
+        & (pts[p1] > pt_thres)
+    )
+    w = np.zeros(pairs.shape[1], np.float32)
+    if not pos.any():
+        return w
+    labels = cluster_ids[p0[pos]].astype(np.int64)
+    cnt = np.bincount(labels)
+    n_clusters = (cnt > 0).sum()
+    w[pos] = 1.0 / (cnt[labels] * n_clusters)
+    return w
+
+
 def pack_events(
     events: Sequence[Event],
     block_size: int,
@@ -119,7 +185,43 @@ def pack_events(
     }
     has_pairs = events[0].pairs is not None
     if has_pairs:
-        e_req = max(ev.pairs.shape[1] for ev in events)
+        # Process every event's pairs up front (augment, symmetrize, sort,
+        # window-pad) so the static E is sized from the PROCESSED lengths —
+        # sizing from the raw counts silently truncated window pads, broke
+        # the whole-128-window invariant the Pallas pair kernels require,
+        # and made the loss fall back to XLA element scatter.
+        processed = []
+        for ev in events:
+            pairs = ev.pairs
+            ni = ev.n
+            if aug_pair_p > 0.0 and aug_rng is not None:
+                # train-time random pair augmentation (reference
+                # tracking_trainer.py process_data:45-52): append
+                # int(E * p / 2) random pairs, both directions. The reference
+                # dedups via to_undirected; at p=0.2 duplicate draws are
+                # negligible and skipped here.
+                n_aug = int(pairs.shape[1] * aug_pair_p / 2)
+                if n_aug:
+                    rnd = aug_rng.integers(0, ni, (2, n_aug))
+                    both = np.concatenate([rnd, rnd[::-1]], axis=1)
+                    pairs = np.concatenate([pairs, both], axis=1)
+            has_cluster = ev.cluster_ids is not None and ev.recons is not None \
+                and ev.pts is not None
+            if window_pairs and has_cluster:
+                pairs = _symmetrize_pairs(pairs, ni)
+            # anchor-sorted pairs: the loss's per-anchor segment sums become
+            # sorted-segment reductions and the anchor gathers become
+            # near-contiguous (the InfoNCE hot-path lever). Order is
+            # semantically irrelevant (all reductions are order-invariant).
+            order = np.argsort(pairs[0], kind="stable")
+            pairs = pairs[:, order]
+            pmask = None
+            if window_pairs:
+                pairs, pmask = window_pad_pairs(pairs, window_pairs)
+            processed.append((pairs, pmask, has_cluster))
+        e_req = max(p.shape[1] for p, _, _ in processed)
+        if window_pairs:
+            e_req = _ceil_to(max(e_req, window_pairs), window_pairs)
         e = e_max or e_req
         # pad pairs point at the LAST row (not 0) so the anchor-sorted order
         # below holds across the padding tail too (masked either way)
@@ -143,27 +245,7 @@ def pack_events(
             if val is not None:
                 out[name][i, :ni] = val
         if has_pairs:
-            pairs = ev.pairs
-            if aug_pair_p > 0.0 and aug_rng is not None:
-                # train-time random pair augmentation (reference
-                # tracking_trainer.py process_data:45-52): append
-                # int(E * p / 2) random pairs, both directions. The reference
-                # dedups via to_undirected; at p=0.2 duplicate draws are
-                # negligible and skipped here.
-                n_aug = int(pairs.shape[1] * aug_pair_p / 2)
-                if n_aug:
-                    rnd = aug_rng.integers(0, ni, (2, n_aug))
-                    both = np.concatenate([rnd, rnd[::-1]], axis=1)
-                    pairs = np.concatenate([pairs, both], axis=1)
-            # anchor-sorted pairs: the loss's per-anchor segment sums become
-            # sorted-segment reductions and the anchor gathers become
-            # near-contiguous (the InfoNCE hot-path lever). Order is
-            # semantically irrelevant (all reductions are order-invariant).
-            order = np.argsort(pairs[0], kind="stable")
-            pairs = pairs[:, order]
-            pmask = None
-            if window_pairs:
-                pairs, pmask = window_pad_pairs(pairs, window_pairs)
+            pairs, pmask, has_cluster = processed[i]
             ei = pairs.shape[1]
             take = min(ei, out["pairs"].shape[2])
             dropped += ei - take
@@ -171,10 +253,30 @@ def pack_events(
             out["pair_mask"][i, :take] = (
                 pmask[:take] if pmask is not None else True
             )
+            if window_pairs and has_cluster and take == ei:
+                # windowed-loss extras: reverse-pair index (partner-side
+                # scatter -> anchor-side scatter in the backward) and
+                # precomputed per-pair cluster weights. Only emitted when no
+                # pairs were truncated (truncation breaks reversal closure).
+                e_out = out["pairs"].shape[2]
+                if "pair_rev" not in out:
+                    out["pair_rev"] = np.tile(
+                        np.arange(e_out, dtype=np.int32), (b, 1)
+                    )
+                    out["pair_weight"] = np.zeros((b, e_out), np.float32)
+                out["pair_rev"][i, :take] = _pair_rev_index(pairs, pmask, ni)
+                out["pair_weight"][i, :take] = _pair_cluster_weights(
+                    pairs, pmask, ev.cluster_ids, ev.recons, ev.pts
+                )
     if dropped:
         import logging
 
         logging.getLogger(__name__).warning(
             "pack_events: dropped %d supervision pairs beyond e_max", dropped
         )
+        # truncation breaks reversal closure / weight normalization — the
+        # loss must fall back to the mask-based in-step path for the whole
+        # batch rather than silently zero the truncated events
+        out.pop("pair_rev", None)
+        out.pop("pair_weight", None)
     return out

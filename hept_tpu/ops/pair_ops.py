@@ -198,3 +198,42 @@ def _anchor_sum_bwd(n, res, g):
 
 
 anchor_segment_sum.defvjp(_anchor_sum_fwd, _anchor_sum_bwd)
+
+
+@jax.custom_vjp
+def partner_gather(emb: Array, p1: Array, p0: Array, rev: Array,
+                   mask: Array) -> Array:
+    """emb (n, d) gathered at the PARTNER index p1 (E,) -> (E, d).
+
+    p1 is arbitrary (not windowed), so the forward is a plain take; the
+    backward's scatter-add by p1 — XLA's element scatter, the loss
+    backward's dominant cost — is rewritten via the pack-time reverse-pair
+    index (`data/batching.py _pair_rev_index`):
+
+        d_emb[i] = Σ_{e: p1[e]=i} g[e]  =  Σ_{e': p0[e']=i} g[rev[e']]
+
+    (substitute e = rev[e']; p1[rev[e']] = p0[e'] because rev maps each real
+    pair to its reverse, and the real pair set is reversal-closed). The right
+    side is an ANCHOR-side scatter, which rides the windowed MXU kernel.
+    Pad slots are masked out of the reversed cotangents (their own cotangent
+    is zero, but rev[pad] aliases a real pair).
+    """
+    del p0, rev, mask
+    return jnp.take(emb, p1, axis=0)
+
+
+def _partner_gather_fwd(emb, p1, p0, rev, mask):
+    return jnp.take(emb, p1, axis=0), (p1, p0, rev, mask, emb.shape[0])
+
+
+def _partner_gather_bwd(res, g):
+    p1, p0, rev, mask, n = res
+    if _use_pallas(p1.shape[0]):
+        g_rev = jnp.where(mask[:, None], jnp.take(g, rev, axis=0), 0.0)
+        d_emb = _scatter_add_tpu(g_rev.T, p0, n).T
+    else:
+        d_emb = jax.ops.segment_sum(g, p1, num_segments=n)
+    return d_emb, None, None, None, None
+
+
+partner_gather.defvjp(_partner_gather_fwd, _partner_gather_bwd)

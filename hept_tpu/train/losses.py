@@ -37,6 +37,8 @@ def infonce_loss(
     dist_metric: str = "l2_rbf",
     pt_thres: float = 0.9,
     windowed_pairs: bool = False,
+    pair_rev: Array | None = None,
+    pair_weight: Array | None = None,
 ) -> Array:
     """Contrastive InfoNCE over supervision pairs (reference losses.py:8-54).
 
@@ -50,6 +52,13 @@ def infonce_loss(
         (data/batching.py window_pad_pairs); anchor-side gathers/segment sums
         then use the windowed MXU kernels (ops/pair_ops.py) instead of XLA
         element scatter — the loss backward's dominant cost.
+      pair_rev: (E,) pack-time reverse-pair index (batching.py
+        _pair_rev_index) — the partner-side backward scatter then also rides
+        the windowed anchor kernel (ops/pair_ops.partner_gather).
+      pair_weight: (E,) pack-time per-pair cluster weights
+        (batching.py _pair_cluster_weights; must be built with this
+        function's pt_thres): the cluster mean-of-means collapses to one dot
+        product, removing two in-step segment-sum scatters + their backward.
     Returns: scalar loss (mean over clusters of per-cluster mean pos-pair loss).
     """
     n = embeddings.shape[0]
@@ -77,7 +86,12 @@ def infonce_loss(
         return jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
 
     e0 = gather0(embeddings)
-    e1 = embeddings[p1]
+    if windowed_pairs and pair_rev is not None:
+        from ..ops.pair_ops import partner_gather
+
+        e1 = partner_gather(embeddings, p1, p0, pair_rev, pair_mask)
+    else:
+        e1 = embeddings[p1]
     if dist_metric == "cosine":
         sim = jnp.sum(e0 * e1, -1) / jnp.maximum(
             safe_norm(e0) * safe_norm(e1), 1e-8
@@ -103,7 +117,10 @@ def infonce_loss(
     loss_per_pair = -jnp.log(numerator / (numerator + denominator + 1e-30) + 1e-30)
 
     # Per-cluster mean of positive-pair losses, then mean over non-empty
-    # clusters (reference losses.py:35-39 via unique+scatter-mean).
+    # clusters (reference losses.py:35-39 via unique+scatter-mean). With
+    # pack-time weights the whole block is one dot product.
+    if pair_weight is not None:
+        return jnp.sum(loss_per_pair * pair_weight)
     labels = jnp.where(pos_mask, cluster_ids[p0], n - 1)  # dump pads on a slot
     w = pos_mask.astype(embeddings.dtype)
     cluster_sum = jax.ops.segment_sum(loss_per_pair * w, labels, num_segments=n)

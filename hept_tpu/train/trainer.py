@@ -45,7 +45,8 @@ def make_loss_fn(cfg: ExperimentConfig):
         use_triplet = cfg.loss_name == "triplet"
 
         def loss_fn(outputs, batch):
-            def per_event(out, pairs, pmask, cid, recons, pts):
+            def per_event(out, pairs, pmask, cid, recons, pts,
+                          rev=None, weight=None):
                 if use_triplet:
                     from ..train.losses import triplet_margin_loss
 
@@ -56,13 +57,17 @@ def make_loss_fn(cfg: ExperimentConfig):
                 return infonce_loss(
                     out, pairs, pmask, cid, recons, pts, tau=tau,
                     dist_metric=dist, windowed_pairs=cfg.windowed_pairs,
+                    pair_rev=rev, pair_weight=weight,
                 )
 
-            args = (outputs, batch["pairs"], batch["pair_mask"],
-                    batch["cluster_ids"], batch["recons"], batch["pts"])
+            args = [outputs, batch["pairs"], batch["pair_mask"],
+                    batch["cluster_ids"], batch["recons"], batch["pts"]]
             if cfg.windowed_pairs and not use_triplet:
-                # unrolled per-event losses: vmapping the Pallas windowed
-                # pair ops would add a batched grid dim; B is small
+                # pack-time extras (reverse-pair index + cluster weights)
+                # when present; unrolled per-event losses: vmapping the
+                # Pallas windowed pair ops would add a batched grid dim
+                if "pair_rev" in batch:
+                    args += [batch["pair_rev"], batch["pair_weight"]]
                 b = outputs.shape[0]
                 losses = [per_event(*(a[i] for a in args)) for i in range(b)]
                 return sum(losses) / len(losses)
@@ -236,13 +241,29 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
          for ev in getattr(dataset, s) if ev.pairs is not None),
         default=0,
     )
-    if e_max and cfg.task == "tracking" and cfg.pair_aug_p > 0:
+    if e_max and cfg.task == "tracking" and cfg.windowed_pairs:
+        # the windowed layout symmetrizes + window-pads pairs at pack time;
+        # size the static E from the PROCESSED lengths (undersizing silently
+        # truncates window pads and drops the Pallas pair kernels) plus
+        # augmentation + window-break headroom, rounded to whole windows
+        from ..data.batching import _symmetrize_pairs, window_pad_pairs
+
+        def _processed_len(ev):
+            sym = _symmetrize_pairs(ev.pairs, ev.n)
+            order = np.argsort(sym[0], kind="stable")
+            return window_pad_pairs(sym[:, order], 128)[0].shape[1]
+
+        e_max = max(
+            _processed_len(ev)
+            for s in ("train", "valid", "test")
+            for ev in getattr(dataset, s)
+            if ev.pairs is not None
+        )
+        e_max += 2 * int(e_max * cfg.pair_aug_p / 2)
+        e_max = _ceil(e_max + max(256, e_max // 16), 128)
+    elif e_max and cfg.task == "tracking" and cfg.pair_aug_p > 0:
         # headroom for train-time random pair augmentation (process_data)
         e_max += 2 * int(e_max * cfg.pair_aug_p / 2)
-    if e_max and cfg.task == "tracking" and cfg.windowed_pairs:
-        # 128-window pair layout: pad headroom for window breaks (measured
-        # ~0-1% on radius-graph pairs) and round to whole windows
-        e_max = _ceil(e_max + max(256, e_max // 16), 128)
 
     model, model_cfg = build_model(cfg, dataset.in_dim, dataset.coords_dim)
     model_apply = make_model_apply(model, model_cfg, batch_mode=cfg.batch_mode)

@@ -198,3 +198,78 @@ def test_pair_augmentation():
     assert (np.diff(b["pairs"][0][0]) >= 0).all()
     # augmented pairs land inside the event's real rows
     assert b["pairs"][0].max() < 96
+
+
+class TestPackTimePairExtras:
+    """pair_rev + pair_weight (windowed-loss pack-time extras)."""
+
+    def _packed(self, n=96, seed=0):
+        from hept_tpu.data.batching import pack_events
+        from hept_tpu.data.synthetic import synthetic_tracking_event
+
+        rng = np.random.default_rng(seed)
+        ev = synthetic_tracking_event(rng, n_points=n)
+        b = pack_events([ev], block_size=16, window_pairs=16)
+        return b, rng
+
+    def test_rev_is_the_reverse_pair(self):
+        b, _ = self._packed()
+        assert "pair_rev" in b and "pair_weight" in b
+        pairs, mask, rev = b["pairs"][0], b["pair_mask"][0], b["pair_rev"][0]
+        real = np.flatnonzero(mask)
+        # rev maps real pairs to real reverse pairs, and is an involution
+        assert mask[rev[real]].all()
+        np.testing.assert_array_equal(pairs[0, rev[real]], pairs[1, real])
+        np.testing.assert_array_equal(pairs[1, rev[real]], pairs[0, real])
+        np.testing.assert_array_equal(rev[rev[real]], real)
+
+    def test_partner_scatter_identity(self):
+        """scatter_by_p1(g) == scatter_by_p0(g[rev]) — the backward rewrite
+        partner_gather relies on (ops/pair_ops.py)."""
+        b, rng = self._packed()
+        pairs, mask, rev = b["pairs"][0], b["pair_mask"][0], b["pair_rev"][0]
+        n = b["x"].shape[1]
+        g = rng.standard_normal((pairs.shape[1], 4)).astype(np.float32)
+        g[~mask] = 0.0  # pad cotangents are zero in the real loss
+        direct = np.zeros((n, 4), np.float32)
+        np.add.at(direct, pairs[1][mask], g[mask])
+        g_rev = np.where(mask[:, None], g[rev], 0.0)
+        rewritten = np.zeros((n, 4), np.float32)
+        np.add.at(rewritten, pairs[0][mask], g_rev[mask])
+        np.testing.assert_allclose(direct, rewritten, rtol=1e-6, atol=1e-6)
+
+    def test_weighted_loss_matches_instep_cluster_math(self):
+        """With pack-time extras, value AND gradient match the in-step
+        cluster mean-of-means path (CPU fallback exercises the weight math;
+        the symmetrized pair set is used for both sides)."""
+        b, rng = self._packed()
+        n = b["x"].shape[1]
+        emb = jnp.asarray(rng.standard_normal((n, 8)), jnp.float32)
+        base_args = (jnp.asarray(b["pairs"][0]), jnp.asarray(b["pair_mask"][0]),
+                     jnp.asarray(b["cluster_ids"][0]), jnp.asarray(b["recons"][0]),
+                     jnp.asarray(b["pts"][0]))
+
+        def plain(e):
+            return infonce_loss(e, *base_args)
+
+        def fast(e):
+            return infonce_loss(
+                e, *base_args, windowed_pairs=True,
+                pair_rev=jnp.asarray(b["pair_rev"][0]),
+                pair_weight=jnp.asarray(b["pair_weight"][0]),
+            )
+
+        l0, g0 = jax.value_and_grad(plain)(emb)
+        l1, g1 = jax.value_and_grad(fast)(emb)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_truncation_drops_extras(self):
+        from hept_tpu.data.batching import pack_events
+        from hept_tpu.data.synthetic import synthetic_tracking_event
+
+        rng = np.random.default_rng(0)
+        ev = synthetic_tracking_event(rng, n_points=96)
+        b = pack_events([ev], block_size=16, window_pairs=16, e_max=32)
+        assert "pair_rev" not in b and "pair_weight" not in b
