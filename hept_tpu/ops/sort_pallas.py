@@ -1,13 +1,17 @@
-"""Pallas TPU bitonic multi-operand sort: the lax.sort replacement for the
-bucket pipeline's hot sorts (core/buckets.grouped_sort_carry).
+"""Pallas TPU bitonic multi-operand sort — a WORKING but SLOWER
+alternative to lax.sort for the bucket pipeline's hot sorts
+(core/buckets.grouped_sort_carry). Kept as a validated negative result.
 
-Why: XLA's TPU sort costs ~3.9 ms of comparator work plus ~0.39 ms per
-payload operand per call at tracking-60k shapes (scripts/probe_sort_model.py)
-— ~10 ms for a layer's 16-operand call — while the data is only ~4.5 MB per
-batch row. This kernel sorts each (row, n) problem entirely in VMEM: one HBM
-read + one write (the measured DMA floor is ~2-4 ms for the whole call), and
-the O(log² n) bitonic network runs as VPU compare-exchanges on VMEM-resident
-state.
+Measured (scripts/probe_pallas_sort.py, v5e, tracking-60k shapes): exact
+bitwise agreement with `lax.sort(num_keys=2)` at 24 rows x 16 operands, but
+56.6 ms vs 11.9 ms. The bitonic network's ~log²(n)/2 = 136 substages each
+traverse the full 17-operand VMEM state (~3 traversals/substage after
+Mosaic's concat/where materializations), which exceeds XLA's ~17-pass
+merge-network HBM traffic by ~8x in passes — VMEM's ~5x bandwidth advantage
+over HBM cannot make that up, and data-dependent addressing (the thing a
+merge network needs) has no fast Mosaic lowering (cross-lane-group dynamic
+gathers are unsupported). Conclusion recorded in ROADMAP.md: XLA's variadic
+sort stays the production path.
 
 Design notes (probe_bitonic.py, probe_refs/probe_dma canaries 2026-08):
   * State lives in OUTPUT refs + a VMEM keys scratch; every substage
@@ -79,7 +83,12 @@ def _kernel(lk_ref, ls_ref, keys_ref, pay_ref, po_ref, kscr_ref, *, n: int,
             a = n // (2 * s)
 
             def flip(x):
-                return x.reshape(a, 2, sr, 128)[:, ::-1].reshape(r, 128)
+                # swap the two stride-halves of every 2s block (Mosaic has
+                # no `rev` lowering; concat of swapped slices instead)
+                x4 = x.reshape(a, 2, sr, 128)
+                return jnp.concatenate(
+                    [x4[:, 1:2], x4[:, 0:1]], axis=1
+                ).reshape(r, 128)
         else:
 
             def flip(x):

@@ -139,3 +139,37 @@ class TestColsKernels:
             np.testing.assert_allclose(
                 np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5, err_msg=nm
             )
+
+
+def test_bitonic_sort_rows_interpret():
+    """Pallas bitonic multi-operand sort (ops/sort_pallas.py, kept as a
+    validated negative result) matches lax.sort(num_keys=2) exactly —
+    interpret mode, small shapes, with ties and padding (n not a power of
+    two)."""
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from hept_tpu.ops.sort_pallas import bitonic_sort_rows
+
+    rng = np.random.default_rng(0)
+    rows, n, ops = 2, 384, 4  # pads to 512
+    keys = rng.standard_normal((rows, n)).astype(np.float32)
+    keys[:, -30:] = 3.0e38  # +BIG tail like invalid rows
+    keys[:, :40] = np.round(keys[:, :40], 1)  # interior ties
+    pays = [
+        rng.integers(0, 2**31, (rows, n), dtype=np.int64).astype(np.uint32)
+        for _ in range(ops - 1)
+    ] + [np.broadcast_to(np.arange(n, dtype=np.uint32), (rows, n)).copy()]
+
+    with pltpu.force_tpu_interpret_mode():
+        out = bitonic_sort_rows(
+            jnp.asarray(keys), [jnp.asarray(p) for p in pays]
+        )
+    ref = jax.lax.sort(
+        [jnp.asarray(keys), jnp.asarray(pays[-1])]
+        + [jnp.asarray(p) for p in pays[:-1]],
+        dimension=-1, num_keys=2, is_stable=False,
+    )
+    np.testing.assert_array_equal(np.asarray(out[-1]), np.asarray(ref[1]))
+    for j in range(ops - 1):
+        np.testing.assert_array_equal(np.asarray(out[j]), np.asarray(ref[2 + j]))
