@@ -85,26 +85,34 @@ def infonce_loss(
         # NaN (0 * NaN stays NaN through the masking `where`s).
         return jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
 
-    e0 = gather0(embeddings)
-    if windowed_pairs and pair_rev is not None:
-        from ..ops.pair_ops import partner_gather
+    sigma = 0.75
+    if (windowed_pairs and pair_rev is not None and dist_metric == "l2_rbf"):
+        # fused symmetric-similarity op: the p1-side backward scatter folds
+        # into the anchor-side windowed scatter via the reverse-pair index
+        # (ops/pair_ops.pair_l2rbf_sim)
+        from ..ops.pair_ops import pair_l2rbf_sim
 
-        e1 = partner_gather(embeddings, p1, p0, pair_rev, pair_mask)
+        sim = pair_l2rbf_sim(embeddings, p0, p1, pair_rev, pair_mask, sigma)
     else:
-        e1 = embeddings[p1]
-    if dist_metric == "cosine":
-        sim = jnp.sum(e0 * e1, -1) / jnp.maximum(
-            safe_norm(e0) * safe_norm(e1), 1e-8
-        )
-    elif dist_metric == "l2_rbf":
-        d = safe_norm(e0 - e1)
-        sigma = 0.75
-        sim = jnp.exp(-d / (2 * sigma**2))
-    elif dist_metric == "l2_inverse":
-        d = safe_norm(e0 - e1)
-        sim = 1.0 / (d + 1.0)
-    else:
-        raise NotImplementedError(dist_metric)
+        e0 = gather0(embeddings)
+        if windowed_pairs and pair_rev is not None:
+            from ..ops.pair_ops import partner_gather
+
+            e1 = partner_gather(embeddings, p1, p0, pair_rev, pair_mask)
+        else:
+            e1 = embeddings[p1]
+        if dist_metric == "cosine":
+            sim = jnp.sum(e0 * e1, -1) / jnp.maximum(
+                safe_norm(e0) * safe_norm(e1), 1e-8
+            )
+        elif dist_metric == "l2_rbf":
+            d = safe_norm(e0 - e1)
+            sim = jnp.exp(-d / (2 * sigma**2))
+        elif dist_metric == "l2_inverse":
+            d = safe_norm(e0 - e1)
+            sim = 1.0 / (d + 1.0)
+        else:
+            raise NotImplementedError(dist_metric)
 
     logit = sim / tau
     max_sim = jnp.max(jnp.where(pair_mask, logit, -jnp.inf))
