@@ -106,7 +106,7 @@ def main():
         # 128-window pair layout: the loss uses the windowed MXU pair ops
         batch = pack_events(events[:b], block_size=100, window_pairs=128)
         keys = ("x", "coords", "valid", "pairs", "pair_mask", "cluster_ids",
-                "recons", "pts", "pair_rev", "pair_weight")
+                "recons", "pts", "pair_rev", "pair_weight", "pair_neg")
         return {k: jnp.asarray(batch[k]) for k in keys}
 
     # IMPORTANT: batches travel as jitted-function ARGUMENTS, never closure
@@ -139,6 +139,7 @@ def main():
                         windowed_pairs=True,
                         pair_rev=bt["pair_rev"][i],
                         pair_weight=bt["pair_weight"][i],
+                        pair_neg=bt["pair_neg"][i],
                     )
                     for i in range(b)
                 ]

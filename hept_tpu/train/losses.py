@@ -39,6 +39,7 @@ def infonce_loss(
     windowed_pairs: bool = False,
     pair_rev: Array | None = None,
     pair_weight: Array | None = None,
+    pair_neg: Array | None = None,
 ) -> Array:
     """Contrastive InfoNCE over supervision pairs (reference losses.py:8-54).
 
@@ -59,6 +60,9 @@ def infonce_loss(
         (batching.py _pair_cluster_weights; must be built with this
         function's pt_thres): the cluster mean-of-means collapses to one dot
         product, removing two in-step segment-sum scatters + their backward.
+      pair_neg: (E,) pack-time negative-pair mask (~pos & real): removes the
+        six per-step E-sized cluster/recon/pt gathers (pair_filter) — ~45 ms
+        at tracking-60k shapes — since the masks depend only on batch data.
     Returns: scalar loss (mean over clusters of per-cluster mean pos-pair loss).
     """
     n = embeddings.shape[0]
@@ -72,12 +76,16 @@ def infonce_loss(
         gather0 = lambda x: x[p0]  # noqa: E731
         seg0 = lambda v: jax.ops.segment_sum(v, p0, num_segments=n)  # noqa: E731
 
-    same_cluster = cluster_ids[p0] == cluster_ids[p1]
-    pos_mask = same_cluster & pair_filter(cluster_ids, pairs, recons, pts, pt_thres)
-    pos_mask = pos_mask & pair_mask
-    # The reference counts every non-positive pair as a negative
-    # (losses.py:19: `~all_pos_pair_mask`), including filter rejects.
-    neg_mask = jnp.logical_not(pos_mask) & pair_mask
+    if pair_neg is not None:
+        neg_mask = pair_neg
+        pos_mask = None  # only needed by the in-step cluster block
+    else:
+        same_cluster = cluster_ids[p0] == cluster_ids[p1]
+        pos_mask = same_cluster & pair_filter(cluster_ids, pairs, recons, pts, pt_thres)
+        pos_mask = pos_mask & pair_mask
+        # The reference counts every non-positive pair as a negative
+        # (losses.py:19: `~all_pos_pair_mask`), including filter rejects.
+        neg_mask = jnp.logical_not(pos_mask) & pair_mask
 
     def safe_norm(diff):
         # sqrt has an infinite slope at 0; padded pairs are (0, 0) self-pairs
@@ -129,6 +137,7 @@ def infonce_loss(
     # pack-time weights the whole block is one dot product.
     if pair_weight is not None:
         return jnp.sum(loss_per_pair * pair_weight)
+    assert pos_mask is not None, "pair_neg without pair_weight unsupported"
     labels = jnp.where(pos_mask, cluster_ids[p0], n - 1)  # dump pads on a slot
     w = pos_mask.astype(embeddings.dtype)
     cluster_sum = jax.ops.segment_sum(loss_per_pair * w, labels, num_segments=n)

@@ -46,7 +46,7 @@ def make_loss_fn(cfg: ExperimentConfig):
 
         def loss_fn(outputs, batch):
             def per_event(out, pairs, pmask, cid, recons, pts,
-                          rev=None, weight=None):
+                          rev=None, weight=None, neg=None):
                 if use_triplet:
                     from ..train.losses import triplet_margin_loss
 
@@ -57,7 +57,7 @@ def make_loss_fn(cfg: ExperimentConfig):
                 return infonce_loss(
                     out, pairs, pmask, cid, recons, pts, tau=tau,
                     dist_metric=dist, windowed_pairs=cfg.windowed_pairs,
-                    pair_rev=rev, pair_weight=weight,
+                    pair_rev=rev, pair_weight=weight, pair_neg=neg,
                 )
 
             args = [outputs, batch["pairs"], batch["pair_mask"],
@@ -67,7 +67,8 @@ def make_loss_fn(cfg: ExperimentConfig):
                 # when present; unrolled per-event losses: vmapping the
                 # Pallas windowed pair ops would add a batched grid dim
                 if "pair_rev" in batch:
-                    args += [batch["pair_rev"], batch["pair_weight"]]
+                    args += [batch["pair_rev"], batch["pair_weight"],
+                             batch["pair_neg"]]
                 b = outputs.shape[0]
                 losses = [per_event(*(a[i] for a in args)) for i in range(b)]
                 return sum(losses) / len(losses)
