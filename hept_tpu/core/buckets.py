@@ -167,17 +167,22 @@ def _cols_to_u32(cols: Array, pack: bool) -> tuple[Array, int]:
     return u32, d
 
 
-def _u32_to_cols(rows: Array, d: int, pack: bool) -> Array:
-    """Inverse of `_cols_to_u32`."""
+def _u32_to_cols(rows: Array, d: int, pack: bool, out_bf16: bool = False) -> Array:
+    """Inverse of `_cols_to_u32`. out_bf16 skips the f32 upcast (the values
+    are bf16-rounded under pack anyway): downstream matmuls read half the
+    bytes and feed the MXU natively."""
     if pack:
         bf = jax.lax.bitcast_convert_type(rows, jnp.bfloat16)  # (c,h,D,n,2)
         bf = jnp.swapaxes(bf, -2, -1)  # (c,h,D,2,n)
-        out = bf.reshape(*rows.shape[:2], -1, rows.shape[-1]).astype(jnp.float32)
+        out = bf.reshape(*rows.shape[:2], -1, rows.shape[-1])
+        if not out_bf16:
+            out = out.astype(jnp.float32)
         return out[:, :, :d]
     return jax.lax.bitcast_convert_type(rows, jnp.float32)
 
 
-def _grouped_sort_impl(keys_list, payload_list, pack, n_ops=1):
+def _grouped_sort_impl(keys_list, payload_list, pack, n_ops=1,
+                       out_bf16=False):
     """Sort several column-payload groups, each by its own keys, with
     VARIADIC multi-operand lax.sort calls: one operand per u32 payload row
     plus an iota operand, groups with equal row counts stacked onto one call.
@@ -232,21 +237,22 @@ def _grouped_sort_impl(keys_list, payload_list, pack, n_ops=1):
             ]
             srcs[gi] = rows_s[-1].reshape(c, h, n).astype(jnp.int32)
             grp = jnp.stack(rows_s[:-1], axis=1).reshape(c, h, width - 1, n)
-            outs[gi] = _u32_to_cols(grp, d, pack)
+            outs[gi] = _u32_to_cols(grp, d, pack, out_bf16)
     return outs, srcs
 
 
-def _make_grouped_sort_carry(pack: bool, n_groups: int, n_ops: int):
+def _make_grouped_sort_carry(pack: bool, n_groups: int, n_ops: int,
+                             out_bf16: bool = False):
     @jax.custom_vjp
     def f(keys_tuple, payload_tuple):
         outs, srcs = _grouped_sort_impl(
-            list(keys_tuple), list(payload_tuple), pack, n_ops
+            list(keys_tuple), list(payload_tuple), pack, n_ops, out_bf16
         )
         return tuple(outs), tuple(srcs)
 
     def fwd(keys_tuple, payload_tuple):
         outs, srcs = _grouped_sort_impl(
-            list(keys_tuple), list(payload_tuple), pack, n_ops
+            list(keys_tuple), list(payload_tuple), pack, n_ops, out_bf16
         )
         in_ndim = tuple(p.ndim for p in payload_tuple)
         return (tuple(outs), tuple(srcs)), (tuple(srcs), keys_tuple, in_ndim)
@@ -279,7 +285,7 @@ _grouped_sort_carry_cache: dict = {}
 
 
 def grouped_sort_carry(keys_list, payload_list, pack: bool = False,
-                       n_ops: int = 1):
+                       n_ops: int = 1, out_bf16: bool = False):
     """Sort several column-payload groups, each by its own keys, in ONE XLA
     sort call (each lax.sort costs ~75-85 ms on TPU regardless of size or
     payload width — the per-call latency, not bytes, is the budget).
@@ -300,7 +306,7 @@ def grouped_sort_carry(keys_list, payload_list, pack: bool = False,
     The custom VJP re-applies the inverse permutations with one backward
     sort call (no scatter-invert, no gathers).
     """
-    key = (bool(pack), len(keys_list), int(n_ops))
+    key = (bool(pack), len(keys_list), int(n_ops), bool(out_bf16))
     fn = _grouped_sort_carry_cache.get(key)
     if fn is None:
         fn = _make_grouped_sort_carry(*key)

@@ -374,6 +374,9 @@ def hept_attention_core_xcols(
         k_key = jnp.where(invalid[None, None, :], big, k_key)
 
     xc = jnp.concatenate([x_cols, coords_cols], axis=0)  # (d_model + cd, n)
+    # under sort_pack the sorted activations stay bf16 (they are bf16-rounded
+    # by the pack anyway): the projection matmuls read half the bytes and the
+    # MXU consumes bf16 natively (weights cast to bf16 for those matmuls)
     if shared_sort:
         # TPU fast mode: bucket queries by the KEY hash order — one sorted
         # copy of [x|coords] serves q, k and v, halving the sort call's
@@ -385,26 +388,30 @@ def hept_attention_core_xcols(
         # n_hashes OR rounds still diversify the grouping; convergence is
         # validated on the synthetic tracking task (PARITY.md divergences).
         (sxk,), (q_src,) = grouped_sort_carry(
-            [k_key], [xc], pack=sort_pack, n_ops=sort_ops
+            [k_key], [xc], pack=sort_pack, n_ops=sort_ops,
+            out_bf16=sort_pack,
         )
         sxq = sxk
     else:
         (sxq, sxk), (q_src, _) = grouped_sort_carry(
-            [q_key, k_key], [xc, xc], pack=sort_pack, n_ops=sort_ops
+            [q_key, k_key], [xc, xc], pack=sort_pack, n_ops=sort_ops,
+            out_bf16=sort_pack,
         )  # each (c, h, d_model + cd, n)
 
     def project(sx, w):
         xs, cs = sx[:, :, :d_model], sx[:, :, d_model:]
         proj = jnp.einsum(
-            "hed,chen->chdn", w, xs, preferred_element_type=jnp.float32
+            "hed,chen->chdn", w.astype(xs.dtype), xs,
+            preferred_element_type=jnp.float32,
         )
-        rpe = sqrt_w[None, :, :, None] * cs
+        rpe = sqrt_w[None, :, :, None] * cs.astype(jnp.float32)
         return jnp.concatenate([proj, rpe], axis=2)  # (c, h, d + cd, n)
 
     sq = project(sxq, wq).reshape(c * h, d + cd, n)
     sk = project(sxk, wk).reshape(c * h, d + cd, n)
+    sxk_x = sxk[:, :, :d_model]
     sv = jnp.einsum(
-        "hed,chen->chdn", wv, sxk[:, :, :d_model],
+        "hed,chen->chdn", wv.astype(sxk_x.dtype), sxk_x,
         preferred_element_type=jnp.float32,
     ).reshape(c * h, dv, n)
 
