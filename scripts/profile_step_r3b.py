@@ -25,7 +25,8 @@ N = 60_000
 rng = np.random.default_rng(0)
 ev = synthetic_tracking_event(rng, n_points=N, avg_track_size=8, pairs_per_point=16)
 batch = pack_events([ev], block_size=100, window_pairs=128)
-keys = ("x", "coords", "valid", "pairs", "pair_mask", "cluster_ids", "recons", "pts")
+keys = ("x", "coords", "valid", "pairs", "pair_mask", "cluster_ids", "recons",
+        "pts", "pair_rev", "pair_weight", "pair_neg")
 bt = {k: jnp.asarray(batch[k][0]) for k in keys}
 n = bt["x"].shape[0]
 
@@ -76,7 +77,9 @@ def train_step(state, bt):
                           bt["x"], bt["coords"], bt["valid"])
         return infonce_loss(out, bt["pairs"], bt["pair_mask"],
                             bt["cluster_ids"], bt["recons"], bt["pts"],
-                            windowed_pairs=True)
+                            windowed_pairs=True, pair_rev=bt["pair_rev"],
+                            pair_weight=bt["pair_weight"],
+                            pair_neg=bt["pair_neg"])
     loss, grads = jax.value_and_grad(loss_of)(state.params)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     p = optax.apply_updates(state.params, updates)
@@ -104,7 +107,9 @@ def loss_fb(out, bt):
     def f(out):
         return infonce_loss(out, bt["pairs"], bt["pair_mask"],
                             bt["cluster_ids"], bt["recons"], bt["pts"],
-                            windowed_pairs=True)
+                            windowed_pairs=True, pair_rev=bt["pair_rev"],
+                            pair_weight=bt["pair_weight"],
+                            pair_neg=bt["pair_neg"])
     return jax.value_and_grad(f)(out)
 
 t_loss = timeit("windowed infonce fwd+bwd", loss_fb, out0, bt)
