@@ -83,6 +83,11 @@ class HeptAttention(nn.Module):
     # half the sort rows/operands). Reference divergence; see
     # ops/bucket_attn.py hept_attention_core_xcols.
     shared_sort: bool = False
+    # With post_sort: ONE bucket grid per OR-hash round shared by all heads
+    # (keys hash the shared [x|coords]; c sort rows instead of c·h; one
+    # sorted copy instead of h — the 8x sort-traffic lever). Implies
+    # shared_sort. Reference divergence; see hept_attention_core_xcols.
+    share_heads: bool = False
 
     @nn.compact
     def __call__(self, query, key, value, *, coords, codes, w_rpe_weight,
@@ -107,10 +112,13 @@ class HeptAttention(nn.Module):
             qw = jnp.exp(jnp.minimum(w.sum(axis=1), 50.0)).sum(axis=-1)
             qw_expanded = jnp.concatenate([qw[:, :1], qw], axis=-1)
             sqrt_w = jnp.sqrt(2.0 * qw_expanded)  # (h, cd)
+            alpha_heads = 1 if self.share_heads else h
             alpha = self.variable(
                 "constants",
                 "e2lsh_alpha",
-                lambda: e2lsh_init(self.make_rng("params"), h, hash_dim, self.n_hashes),
+                lambda: e2lsh_init(
+                    self.make_rng("params"), alpha_heads, hash_dim, self.n_hashes
+                ),
             ).value
             out = hept_attention_core_xcols(
                 query.T,  # (d_model, n) shared normed hidden
@@ -123,6 +131,7 @@ class HeptAttention(nn.Module):
                 unsort_pack=self.unsort_pack,
                 hash_axis=self.hash_axis,
                 shared_sort=self.shared_sort,
+                share_heads=self.share_heads,
             )  # (h, d, n)
             out = out.reshape(h * d, n).T
             if self.head_axis is not None:

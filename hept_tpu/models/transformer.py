@@ -66,6 +66,15 @@ class TransformerConfig:
     # argsorts (hept.py:103-104); convergence-validated on synthetic
     # tracking (PARITY.md divergences).
     shared_sort: bool = False
+    # TPU fast mode (requires qkv_post_sort): ONE bucket grid per OR-hash
+    # round shared by ALL heads — keys hash the shared [x|coords] with
+    # per-hash directions, so the per-layer sort/unsort runs n_hashes
+    # comparator rows instead of n_hashes·num_heads and the sorted
+    # [x|coords] payload is one copy instead of num_heads (the 8x
+    # sort-traffic lever). Implies shared_sort. Diverges from the
+    # reference's per-head hashing (hept.py:93-104); convergence-validated
+    # on synthetic tracking (PARITY.md divergences).
+    share_heads: bool = False
     num_classes: int = 1  # pileup head width
     # baseline-attention knobs (reference configs/*)
     pe_type: str = "none"  # none | learned | fixed
@@ -156,6 +165,7 @@ def _make_attention(cfg: TransformerConfig):
             hash_axis=cfg.hash_axis,
             post_sort=cfg.qkv_post_sort,
             shared_sort=cfg.shared_sort,
+            share_heads=cfg.share_heads,
             **common,
         )
     if cfg.attn_type == "performer":

@@ -293,7 +293,7 @@ def hept_attention_core_cols(
 
 @partial(jax.jit, static_argnames=("block_size", "impl", "sort_pack",
                                    "sort_ops", "unsort_pack", "hash_axis",
-                                   "shared_sort"))
+                                   "shared_sort", "share_heads"))
 def hept_attention_core_xcols(
     x_cols: Array,
     coords_cols: Array,
@@ -312,6 +312,7 @@ def hept_attention_core_xcols(
     unsort_pack: bool = False,
     hash_axis: str | None = None,
     shared_sort: bool = False,
+    share_heads: bool = False,
 ) -> Array:
     """Post-sort-projection HEPT pipeline: sort the SHARED pre-projection
     activations instead of per-head q̂/k̂/v.
@@ -333,8 +334,18 @@ def hept_attention_core_xcols(
       coords_cols: (cd, n).
       wq, wk, wv: (h, d_model, d) per-head projection kernels (x.T @ w).
       sqrt_w: (h, cd) RPE column scales (prep_qk).
-      alpha: (h, d + cd, c) frozen E2LSH directions.
+      alpha: (h, d + cd, c) frozen E2LSH directions — or (1, d_model + cd, c)
+        directions in [x|coords] space under `share_heads`.
       codes: (c, h, n); invalid: optional (n,) bool.
+      share_heads: TPU fast mode — ONE bucket grid per OR-hash round shared
+        by all heads: keys hash the shared [x|coords] directly (per-hash
+        directions, head-mean RPE scale, head-0 AND codes), so the sort and
+        unsort run c comparator rows instead of c·h and the sorted
+        [x|coords] payload is one copy instead of h (the 8x sort-traffic
+        lever). Diverges from the reference's per-head hashing
+        (hept.py:93-104, per-head alpha); convergence-validated like
+        shared_sort (PARITY.md divergences). Implies shared_sort (q and k
+        share the single key set).
     Returns: (h, dv, n) attention output columns.
     """
     h, d_model, d = wq.shape
@@ -348,36 +359,60 @@ def hept_attention_core_xcols(
         x_cols = jnp.where(keep, x_cols, 0.0)
         coords_cols = jnp.where(keep, coords_cols, 0.0)
 
-    # Compose the hash projections through the (bias-free) q/k/v projections:
-    # hash_q = (W_q^T alpha1) . x + (sqrt_w ⊙ alpha2) . coords.
-    a1, a2 = alpha[:, :d, :], alpha[:, d:, :]
-    beta_q = jnp.einsum("hed,hdc->hec", wq, a1)  # (h, d_model, c)
-    beta_k = jnp.einsum("hed,hdc->hec", wk, a1)
-    gamma = sqrt_w[:, :, None] * a2  # (h, cd, c)
-    coord_hash = jnp.einsum("hrc,rn->chn", gamma, coords_cols)
-    both = jax.lax.stop_gradient(
-        jnp.stack([
-            jnp.einsum("hec,en->chn", beta_q, x_cols) + coord_hash,
-            jnp.einsum("hec,en->chn", beta_k, x_cols) + coord_hash,
-        ])
-    )
-    hash_shift = both.max(axis=(0, 3), keepdims=True) - both.min(
-        axis=(0, 3), keepdims=True
-    )
-    q_hashed, k_hashed = both
-    shift = jax.lax.stop_gradient(codes).astype(jnp.float32) * hash_shift[0]
-    q_key = q_hashed + shift
-    k_key = k_hashed + shift
-    if invalid is not None:
-        big = jnp.asarray(3.0e38, jnp.float32)
-        q_key = jnp.where(invalid[None, None, :], big, q_key)
-        k_key = jnp.where(invalid[None, None, :], big, k_key)
-
     xc = jnp.concatenate([x_cols, coords_cols], axis=0)  # (d_model + cd, n)
     # under sort_pack the sorted activations stay bf16 (they are bf16-rounded
     # by the pack anyway): the projection matmuls read half the bytes and the
     # MXU consumes bf16 natively (weights cast to bf16 for those matmuls)
-    if shared_sort:
+    if share_heads:
+        # one hash per OR round in [x|coords] space, shared across heads
+        a1, a2 = alpha[0, :d_model, :], alpha[0, d_model:, :]
+        gamma = sqrt_w.mean(axis=0)[:, None] * a2  # (cd, c)
+        hashed = jax.lax.stop_gradient(
+            jnp.einsum("ec,en->cn", a1, x_cols)
+            + jnp.einsum("rc,rn->cn", gamma, coords_cols)
+        )  # (c, n)
+        hash_shift = hashed.max(axis=1, keepdims=True) - hashed.min(
+            axis=1, keepdims=True
+        )
+        codes_s = jax.lax.stop_gradient(codes[:, 0]).astype(jnp.float32)
+        k_key = (hashed + codes_s * hash_shift)[:, None, :]  # (c, 1, n)
+        if invalid is not None:
+            big = jnp.asarray(3.0e38, jnp.float32)
+            k_key = jnp.where(invalid[None, None, :], big, k_key)
+        (sxk,), (q_src,) = grouped_sort_carry(
+            [k_key], [xc], pack=sort_pack, n_ops=sort_ops,
+            out_bf16=sort_pack,
+        )  # sxk (c, 1, d_model + cd, n); q_src (c, 1, n)
+        sxq = sxk
+    else:
+        # Compose the hash projections through the (bias-free) q/k/v
+        # projections: hash_q = (W_q^T alpha1) . x + (sqrt_w ⊙ alpha2) . coords.
+        a1, a2 = alpha[:, :d, :], alpha[:, d:, :]
+        beta_q = jnp.einsum("hed,hdc->hec", wq, a1)  # (h, d_model, c)
+        beta_k = jnp.einsum("hed,hdc->hec", wk, a1)
+        gamma = sqrt_w[:, :, None] * a2  # (h, cd, c)
+        coord_hash = jnp.einsum("hrc,rn->chn", gamma, coords_cols)
+        both = jax.lax.stop_gradient(
+            jnp.stack([
+                jnp.einsum("hec,en->chn", beta_q, x_cols) + coord_hash,
+                jnp.einsum("hec,en->chn", beta_k, x_cols) + coord_hash,
+            ])
+        )
+        hash_shift = both.max(axis=(0, 3), keepdims=True) - both.min(
+            axis=(0, 3), keepdims=True
+        )
+        q_hashed, k_hashed = both
+        shift = jax.lax.stop_gradient(codes).astype(jnp.float32) * hash_shift[0]
+        q_key = q_hashed + shift
+        k_key = k_hashed + shift
+        if invalid is not None:
+            big = jnp.asarray(3.0e38, jnp.float32)
+            q_key = jnp.where(invalid[None, None, :], big, q_key)
+            k_key = jnp.where(invalid[None, None, :], big, k_key)
+
+    if share_heads:
+        pass  # sorted above (single shared key set)
+    elif shared_sort:
         # TPU fast mode: bucket queries by the KEY hash order — one sorted
         # copy of [x|coords] serves q, k and v, halving the sort call's
         # comparator rows and payload operands (the call is ~60% of the
@@ -400,20 +435,32 @@ def hept_attention_core_xcols(
 
     def project(sx, w):
         xs, cs = sx[:, :, :d_model], sx[:, :, d_model:]
-        proj = jnp.einsum(
-            "hed,chen->chdn", w.astype(xs.dtype), xs,
-            preferred_element_type=jnp.float32,
-        )
+        if xs.shape[1] == 1:  # share_heads: one sorted copy serves all heads
+            proj = jnp.einsum(
+                "hed,cen->chdn", w.astype(xs.dtype), xs[:, 0],
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            proj = jnp.einsum(
+                "hed,chen->chdn", w.astype(xs.dtype), xs,
+                preferred_element_type=jnp.float32,
+            )
         rpe = sqrt_w[None, :, :, None] * cs.astype(jnp.float32)
         return jnp.concatenate([proj, rpe], axis=2)  # (c, h, d + cd, n)
 
     sq = project(sxq, wq).reshape(c * h, d + cd, n)
     sk = project(sxk, wk).reshape(c * h, d + cd, n)
     sxk_x = sxk[:, :, :d_model]
-    sv = jnp.einsum(
-        "hed,chen->chdn", wv.astype(sxk_x.dtype), sxk_x,
-        preferred_element_type=jnp.float32,
-    ).reshape(c * h, dv, n)
+    if sxk_x.shape[1] == 1:
+        sv = jnp.einsum(
+            "hed,cen->chdn", wv.astype(sxk_x.dtype), sxk_x[:, 0],
+            preferred_element_type=jnp.float32,
+        ).reshape(c * h, dv, n)
+    else:
+        sv = jnp.einsum(
+            "hed,chen->chdn", wv.astype(sxk_x.dtype), sxk_x,
+            preferred_element_type=jnp.float32,
+        ).reshape(c * h, dv, n)
 
     if impl in ("pallas", "hybrid") and jax.default_backend() == "tpu":
         from .bucket_attn_pallas import bucket_rbf_attention_cols_pallas
@@ -425,8 +472,16 @@ def hept_attention_core_xcols(
 
     od = jnp.concatenate([so, denom], axis=1).reshape(c, h, dv + 1, n)
     # unsort precision: see hept_attention_core_cols
-    (od_unsorted,), _ = grouped_sort_carry([q_src], [od], pack=unsort_pack,
-                                           n_ops=sort_ops)
+    if share_heads:
+        # all heads share the per-hash permutation: the unsort rides c
+        # comparator rows with every head's [num|denom] as payload columns
+        od_f = od.reshape(c, 1, h * (dv + 1), n)
+        (odu,), _ = grouped_sort_carry([q_src], [od_f], pack=unsort_pack,
+                                       n_ops=sort_ops)
+        od_unsorted = odu.reshape(c, h, dv + 1, n)
+    else:
+        (od_unsorted,), _ = grouped_sort_carry([q_src], [od], pack=unsort_pack,
+                                               n_ops=sort_ops)
     o, logits = od_unsorted[:, :, :dv], od_unsorted[:, :, dv:]
     o_sum, l_sum = o.sum(axis=0), logits.sum(axis=0)
     if hash_axis is not None:

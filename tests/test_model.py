@@ -335,6 +335,100 @@ class TestSharedSort:
         assert not np.allclose(o1, o2, rtol=1e-5, atol=1e-6)
 
 
+class TestShareHeads:
+    def test_single_bucket_matches_per_head(self):
+        """With one bucket covering all points, bucket composition is
+        independent of the hash — share_heads must reproduce the per-head
+        post_sort output exactly (attention within a bucket is
+        permutation-invariant)."""
+        import dataclasses
+
+        model, cfg, _, x, coords, valid = _make(
+            {"padding_mode": "replicate", "qkv_post_sort": True}, n=64
+        )
+        cfg = dataclasses.replace(cfg, block_size=64, num_regions=1)
+        model = HeptTransformer(cfg)
+        variables = model.init(jax.random.PRNGKey(0), x, coords, valid)
+        m2 = HeptTransformer(dataclasses.replace(cfg, share_heads=True))
+        # param trees are identical; constants differ (shared alpha has a
+        # head axis of 1) — reuse params, take m2's own constants.
+        v2 = m2.init(jax.random.PRNGKey(0), x, coords, valid)
+        assert v2["constants"]["block_0"]["attn"]["e2lsh_alpha"].shape[0] == 1
+        o1 = np.asarray(model.apply(variables, x, coords, valid))
+        o2 = np.asarray(
+            m2.apply(
+                {"params": variables["params"], "constants": v2["constants"]},
+                x, coords, valid,
+            )
+        )
+        np.testing.assert_allclose(o1, o2, rtol=2e-4, atol=2e-5)
+
+    def test_forward_and_grads_finite(self):
+        model, cfg, variables, x, coords, valid = _make(
+            {"padding_mode": "replicate", "qkv_post_sort": True,
+             "share_heads": True}, n=64
+        )
+        out = model.apply(variables, x, coords, valid)
+        assert np.isfinite(np.asarray(out)).all()
+
+        def loss(params):
+            o = model.apply(
+                {"params": params, "constants": variables["constants"]},
+                x, coords, valid,
+            )
+            return jnp.sum(o ** 2)
+
+        g = jax.grad(loss)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        gq = g["block_0"]["w_q"]["kernel"]
+        assert float(jnp.abs(gq).max()) > 0
+
+    def test_changes_bucketing_in_general(self):
+        """With many regions the shared-grid buckets genuinely differ from
+        the per-head grids (guards against share_heads being a no-op)."""
+        import dataclasses
+
+        model, cfg, variables, x, coords, valid = _make(
+            {"padding_mode": "replicate", "qkv_post_sort": True}, n=64
+        )
+        m2 = HeptTransformer(dataclasses.replace(cfg, share_heads=True))
+        v2 = m2.init(jax.random.PRNGKey(0), x, coords, valid)
+        o1 = np.asarray(model.apply(variables, x, coords, valid))
+        o2 = np.asarray(
+            m2.apply(
+                {"params": variables["params"], "constants": v2["constants"]},
+                x, coords, valid,
+            )
+        )
+        assert not np.allclose(o1, o2, rtol=1e-5, atol=1e-6)
+
+    def test_flat_batch_matches_per_event(self):
+        """share_heads composes with flat batching (batch-index AND codes
+        slice to head 0 per hash round)."""
+        from hept_tpu.models.transformer import make_flat_batched_apply
+
+        model, cfg, variables, x0, c0, v0 = _make(
+            {"padding_mode": "replicate", "qkv_post_sort": True,
+             "share_heads": True}, n=64
+        )
+        k = jax.random.PRNGKey(9)
+        x1 = jax.random.normal(k, x0.shape)
+        c1 = jax.random.normal(jax.random.split(k)[0], c0.shape)
+        x = jnp.stack([x0, x1]); c = jnp.stack([c0, c1])
+        v = jnp.stack([v0, v0])
+        flat = make_flat_batched_apply(model)
+        out_flat = flat(variables, x, c, v)
+        out0 = model.apply(variables, x0, c0, v0)
+        out1 = model.apply(variables, x1, c1, v0)
+        np.testing.assert_allclose(
+            np.asarray(out_flat[0]), np.asarray(out0), rtol=2e-5, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_flat[1]), np.asarray(out1), rtol=2e-5, atol=2e-5
+        )
+
+
 def test_unsort_pack_close_to_f32():
     """unsort_pack moves the OR-combine accumulands as bf16 pairs; outputs
     must stay within bf16-rounding distance of the f32 unsort."""
