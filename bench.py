@@ -74,8 +74,8 @@ def main():
     def _stamp(msg):
         print(f"# [{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
-    def make_cfg():
-        return TransformerConfig(
+    def make_cfg(**overrides):
+        base = dict(
             in_dim=events[0].x.shape[1],
             coords_dim=events[0].coords.shape[1],
             task="tracking",
@@ -96,6 +96,8 @@ def main():
             # (convergence-validated: acc@0.9 0.9424 vs 0.9432 separate,
             # scripts/validate_shared_sort.py)
         )
+        base.update(overrides)
+        return TransformerConfig(**base)
 
     cfg = make_cfg()
     model = HeptTransformer(cfg)
@@ -112,14 +114,16 @@ def main():
     # IMPORTANT: batches travel as jitted-function ARGUMENTS, never closure
     # constants (closure-captured device arrays are embedded into the lowered
     # module: minutes of lowering on a remote backend).
-    def make_step(b):
+    def make_step(b, mdl=None):
         import jax
+
+        mdl = mdl or model
 
         @jax.jit
         def train_step(state, bt):
             def loss_of(p):
                 if b == 1:
-                    out = model.apply(
+                    out = mdl.apply(
                         {"params": p, "constants": state.constants},
                         bt["x"][0], bt["coords"][0], bt["valid"][0],
                     )[None]
@@ -222,6 +226,36 @@ def main():
     float(out.sum())
     fwd_ms = (time.perf_counter() - t0) / ITERS * 1e3
 
+    # Reference-parity-mode step (no fast-mode divergences: per-head hashing,
+    # independent q/k bucket sorts, f32 sort/unsort transport), reported
+    # alongside the fast number so round-over-round progress can't silently
+    # ride the validated divergences (VERDICT r2 #9).
+    parity_ms = None
+    try:
+        pmodel = HeptTransformer(make_cfg(
+            sort_pack=False, sort_ops=1, unsort_pack=False, shared_sort=False,
+        ))
+        _stamp("parity-mode compile")
+        pvars = jax.jit(pmodel.init)(
+            jax.random.PRNGKey(0), bt1["x"][0], bt1["coords"][0], bt1["valid"][0]
+        )
+        jax.block_until_ready(pvars)
+        pstate = TrainState.create(pvars, tx, jax.random.PRNGKey(1))
+        pstep = make_step(1, mdl=pmodel)
+        ps, pl = pstep(pstate, bt1)
+        float(pl)
+        for _ in range(WARMUP - 1):
+            ps, pl = pstep(ps, bt1)
+        float(pl)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            ps, pl = pstep(ps, bt1)
+        float(pl)
+        parity_ms = (time.perf_counter() - t0) / ITERS * 1e3
+        _stamp(f"parity mode: {parity_ms:.1f} ms/step")
+    except Exception as e:
+        _stamp(f"parity mode failed ({type(e).__name__}); omitting")
+
     cb = cost.get(best_b, {})
     mfu = (cb.get("flops", 0.0) / dt_best) / V5E_PEAK_FLOPS if on_tpu else 0.0
     hbm_gbs = cb.get("bytes", 0.0) / dt_best / 1e9
@@ -236,6 +270,7 @@ def main():
                 "batch_events": best_b,
                 "step_ms": round(dt_best * 1e3, 2),
                 "step_ms_b1": round(dt1 * 1e3, 2),
+                "step_ms_parity": round(parity_ms, 2) if parity_ms else None,
                 "fwd_ms": round(fwd_ms, 2),
                 "mfu": round(mfu, 4),
                 "hbm_gb_per_s": round(hbm_gbs, 1),

@@ -88,6 +88,29 @@ def window_pad_pairs(pairs: np.ndarray, group: int = 128) -> tuple[np.ndarray, n
     return out, mask
 
 
+def processed_pair_len(pairs: np.ndarray, n: int, window: int = 128) -> int:
+    """Exact length of `window_pad_pairs(symmetrized-and-sorted pairs)` WITHOUT
+    materializing the processed arrays — the trainer's static-E sizing pass
+    (run once per dataset at startup) only needs the lengths, and building the
+    padded arrays for every event made startup O(dataset-bytes)."""
+    if pairs.shape[1] == 0:
+        return 0
+    both = np.concatenate(
+        [pairs[0].astype(np.int64) * n + pairs[1],
+         pairs[1].astype(np.int64) * n + pairs[0]]
+    )
+    key = np.unique(both)  # sorted by (anchor, partner)
+    p0 = key // n  # anchor column of the symmetrized anchor-sorted pairs
+    e = p0.shape[0]
+    limit = np.searchsorted(p0, p0 + window, side="left")
+    i = 0
+    n_runs = 0
+    while i < e:
+        n_runs += 1
+        i = min(i + window, int(limit[i]))
+    return n_runs * window
+
+
 def _symmetrize_pairs(pairs: np.ndarray, n: int) -> np.ndarray:
     """Close the pair list under reversal and dedupe.
 

@@ -88,6 +88,10 @@ class HeptAttention(nn.Module):
     # sorted copy instead of h — the 8x sort-traffic lever). Implies
     # shared_sort. Reference divergence; see hept_attention_core_xcols.
     share_heads: bool = False
+    # With share_heads: unsort all heads' [num|denom] in ONE c-comparator-row
+    # call (c·h/2 fewer comparator rows at ~h·(dv+1)/2 sort operands —
+    # TPU-compile-expensive, opt-in; see hept_attention_core_xcols).
+    fold_unsort: bool = False
 
     @nn.compact
     def __call__(self, query, key, value, *, coords, codes, w_rpe_weight,
@@ -132,6 +136,7 @@ class HeptAttention(nn.Module):
                 hash_axis=self.hash_axis,
                 shared_sort=self.shared_sort,
                 share_heads=self.share_heads,
+                fold_unsort=self.fold_unsort,
             )  # (h, d, n)
             out = out.reshape(h * d, n).T
             if self.head_axis is not None:

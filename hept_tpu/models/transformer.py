@@ -75,6 +75,10 @@ class TransformerConfig:
     # reference's per-head hashing (hept.py:93-104); convergence-validated
     # on synthetic tracking (PARITY.md divergences).
     share_heads: bool = False
+    # With share_heads: fold every head's [num|denom] into one c-row unsort
+    # call (fewer comparator rows, many sort operands — TPU-compile-heavy;
+    # see ops/bucket_attn.py).
+    fold_unsort: bool = False
     num_classes: int = 1  # pileup head width
     # baseline-attention knobs (reference configs/*)
     pe_type: str = "none"  # none | learned | fixed
@@ -166,6 +170,7 @@ def _make_attention(cfg: TransformerConfig):
             post_sort=cfg.qkv_post_sort,
             shared_sort=cfg.shared_sort,
             share_heads=cfg.share_heads,
+            fold_unsort=cfg.fold_unsort,
             **common,
         )
     if cfg.attn_type == "performer":

@@ -293,7 +293,8 @@ def hept_attention_core_cols(
 
 @partial(jax.jit, static_argnames=("block_size", "impl", "sort_pack",
                                    "sort_ops", "unsort_pack", "hash_axis",
-                                   "shared_sort", "share_heads"))
+                                   "shared_sort", "share_heads",
+                                   "fold_unsort"))
 def hept_attention_core_xcols(
     x_cols: Array,
     coords_cols: Array,
@@ -313,6 +314,7 @@ def hept_attention_core_xcols(
     hash_axis: str | None = None,
     shared_sort: bool = False,
     share_heads: bool = False,
+    fold_unsort: bool = False,
 ) -> Array:
     """Post-sort-projection HEPT pipeline: sort the SHARED pre-projection
     activations instead of per-head q̂/k̂/v.
@@ -472,13 +474,24 @@ def hept_attention_core_xcols(
 
     od = jnp.concatenate([so, denom], axis=1).reshape(c, h, dv + 1, n)
     # unsort precision: see hept_attention_core_cols
-    if share_heads:
+    if share_heads and fold_unsort:
         # all heads share the per-hash permutation: the unsort rides c
-        # comparator rows with every head's [num|denom] as payload columns
+        # comparator rows with every head's [num|denom] as payload columns.
+        # CAVEAT: one lax.sort operand per packed column pair => ~h·(dv+1)/2
+        # operands, and XLA TPU sort compile time scales ~linearly in operand
+        # count (>10 min at ~100 operands) — opt-in until the one-time
+        # compile is paid into the persistent cache.
         od_f = od.reshape(c, 1, h * (dv + 1), n)
         (odu,), _ = grouped_sort_carry([q_src], [od_f], pack=unsort_pack,
                                        n_ops=sort_ops)
         od_unsorted = odu.reshape(c, h, dv + 1, n)
+    elif share_heads:
+        # broadcast the shared permutation to all heads: same call shape as
+        # the per-head unsort (c·h comparator rows, (dv+1)/2 operands)
+        src_b = jnp.broadcast_to(q_src, (c, h, n))
+        (od_unsorted,), _ = grouped_sort_carry([src_b], [od],
+                                               pack=unsort_pack,
+                                               n_ops=sort_ops)
     else:
         (od_unsorted,), _ = grouped_sort_carry([q_src], [od], pack=unsort_pack,
                                                n_ops=sort_ops)

@@ -173,55 +173,91 @@ def make_model_apply(model, model_cfg=None, batch_mode: str = "vmap"):
     return model_apply
 
 
+def make_eval_step(cfg, model_apply):
+    """One jitted device call per eval batch: forward + loss + (tracking)
+    retrieval metrics, so the eval loop issues no eager per-batch ops and
+    can defer every host read to the end of the split."""
+    loss_fn = make_loss_fn(cfg)
+
+    if cfg.task == "tracking":
+
+        @jax.jit
+        def eval_step(variables, jb):
+            out = model_apply(variables, jb)
+            loss = loss_fn(out, jb)
+            tm = tracking_metrics_batch(
+                out, jb["cluster_ids"], jb["recons"], jb["pts"], jb["valid"]
+            )  # (B, 3 thresholds, 3 metrics)
+            return loss, tm
+
+        return eval_step
+
+    @jax.jit
+    def eval_step(variables, jb):
+        out = model_apply(variables, jb)
+        return loss_fn(out, jb), out
+
+    return eval_step
+
+
 def evaluate(cfg, model_apply, variables, dataset: SplitDataset, split: str,
-             block_size: int, n_max: int, e_max: int, eval_apply=None):
+             block_size: int, n_max: int, e_max: int, eval_apply=None,
+             eval_step=None):
     """Task metrics over a split (host-side aggregation, eval only).
 
-    Pass a pre-jitted `eval_apply` to avoid re-tracing every epoch.
+    Pass a pre-built `eval_step` (make_eval_step) to avoid re-tracing every
+    epoch. `eval_apply` is the legacy forward-only hook, still accepted.
     """
-    if eval_apply is None:
-        eval_apply = jax.jit(lambda v, b: model_apply(v, b))
+    del eval_apply  # superseded by the fused eval_step
+    if eval_step is None:
+        eval_step = make_eval_step(cfg, model_apply)
     if cfg.task == "tracking":
-        accs, precs, recs = {0.0: [], 0.5: [], 0.9: []}, {0.0: [], 0.5: [], 0.9: []}, {0.0: [], 0.5: [], 0.9: []}
-        losses = []
-        loss_fn = make_loss_fn(cfg)
+        losses, tms = [], []
         for batch in dataset.iter_batches(split, cfg.batch_size, block_size,
                                           n_max=n_max, e_max=e_max,
                                           window_pairs=128 if cfg.windowed_pairs else 0):
             jb = jax.tree_util.tree_map(jnp.asarray, batch)
-            out = eval_apply(variables, jb)
-            losses.append(float(loss_fn(out, jb)))
-            tm = np.asarray(tracking_metrics_batch(
-                out, jb["cluster_ids"], jb["recons"], jb["pts"], jb["valid"]
-            ))  # (B, 3 thresholds, 3 metrics) in one device call
-            for bi in range(tm.shape[0]):
-                for ti, thres in enumerate((0.0, 0.5, 0.9)):
-                    accs[thres].append(tm[bi, ti, 0])
-                    precs[thres].append(tm[bi, ti, 1])
-                    recs[thres].append(tm[bi, ti, 2])
+            loss, tm = eval_step(variables, jb)
+            losses.append(loss)  # device scalars — one host sync at the end
+            tms.append(tm)
+        losses = [float(l) for l in jax.device_get(losses)]
         res = {"loss": float(np.mean(losses)) if losses else float("nan")}
-        for thres in (0.0, 0.5, 0.9):
-            res[f"accuracy@{thres:g}"] = float(np.mean(accs[thres]))
-            res[f"precision@{thres:g}"] = float(np.mean(precs[thres]))
-            res[f"recall@{thres:g}"] = float(np.mean(recs[thres]))
+        if tms:
+            tm = np.concatenate(jax.device_get(tms), axis=0)  # (ΣB, 3, 3)
+            for ti, thres in enumerate((0.0, 0.5, 0.9)):
+                res[f"accuracy@{thres:g}"] = float(tm[:, ti, 0].mean())
+                res[f"precision@{thres:g}"] = float(tm[:, ti, 1].mean())
+                res[f"recall@{thres:g}"] = float(tm[:, ti, 2].mean())
+        else:
+            for thres in (0.0, 0.5, 0.9):
+                res[f"accuracy@{thres:g}"] = float("nan")
+                res[f"precision@{thres:g}"] = float("nan")
+                res[f"recall@{thres:g}"] = float("nan")
         return res
 
     # pileup: per-batch metrics averaged across batches (reference parity —
     # pileup_trainer.py update_metrics feeds per-batch AP/ROC/F1 into
-    # MeanMetric and reports the mean, not the micro-average).
-    per_batch, losses = [], []
-    loss_fn = make_loss_fn(cfg)
+    # MeanMetric and reports the mean, not the micro-average). AP/ROC/F1 are
+    # host-side (sort-based sklearn-style curves); device reads are deferred
+    # to one sync at the end of the split.
+    losses, outs, masks, ys = [], [], [], []
     for batch in dataset.iter_batches(split, cfg.batch_size, block_size, n_max=n_max):
         jb = jax.tree_util.tree_map(jnp.asarray, batch)
-        out = eval_apply(variables, jb)
-        losses.append(float(loss_fn(out, jb)))
-        mask = np.asarray(jb["is_neu"] & jb["valid"])
-        p, t = np.asarray(out[..., 0])[mask], np.asarray(jb["y"])[mask]
+        loss, out = eval_step(variables, jb)
+        losses.append(loss)
+        outs.append(out[..., 0])
+        masks.append(jb["is_neu"] & jb["valid"])
+        ys.append(jb["y"])
+    losses, outs, masks, ys = jax.device_get((losses, outs, masks, ys))
+    per_batch = []
+    for out, mask, y in zip(outs, masks, ys):
+        mask = np.asarray(mask)
+        p, t = np.asarray(out)[mask], np.asarray(y)[mask]
         if t.size and t.min() != t.max():  # degenerate batches carry no AUC
             per_batch.append(binary_classification_metrics(p, t))
     keys = per_batch[0].keys() if per_batch else ()
     res = {k: float(np.mean([m[k] for m in per_batch])) for k in keys}
-    res["loss"] = float(np.mean(losses)) if losses else float("nan")
+    res["loss"] = float(np.mean([float(l) for l in losses])) if losses else float("nan")
     return res
 
 
@@ -246,20 +282,28 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
         # the windowed layout symmetrizes + window-pads pairs at pack time;
         # size the static E from the PROCESSED lengths (undersizing silently
         # truncates window pads and drops the Pallas pair kernels) plus
-        # augmentation + window-break headroom, rounded to whole windows
-        from ..data.batching import _symmetrize_pairs, window_pad_pairs
+        # augmentation + window-break headroom, rounded to whole windows.
+        # `processed_pair_len` computes the exact lengths without building
+        # the padded arrays, and the result is cached on the dataset so
+        # multi-seed / resumed runs pay the O(dataset) pass once.
+        from ..data.batching import processed_pair_len
 
-        def _processed_len(ev):
-            sym = _symmetrize_pairs(ev.pairs, ev.n)
-            order = np.argsort(sym[0], kind="stable")
-            return window_pad_pairs(sym[:, order], 128)[0].shape[1]
-
-        e_max = max(
-            _processed_len(ev)
-            for s in ("train", "valid", "test")
-            for ev in getattr(dataset, s)
-            if ev.pairs is not None
-        )
+        cache = getattr(dataset, "_sizing_cache", None)
+        if cache is None:
+            cache = {}
+            try:
+                dataset._sizing_cache = cache
+            except Exception:
+                pass
+        ck = ("windowed_e_max", 128)
+        if ck not in cache:
+            cache[ck] = max(
+                processed_pair_len(ev.pairs, ev.n, 128)
+                for s in ("train", "valid", "test")
+                for ev in getattr(dataset, s)
+                if ev.pairs is not None
+            )
+        e_max = cache[ck]
         e_max += 2 * int(e_max * cfg.pair_aug_p / 2)
         e_max = _ceil(e_max + max(256, e_max // 16), 128)
     elif e_max and cfg.task == "tracking" and cfg.pair_aug_p > 0:
@@ -363,7 +407,7 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
         state = ckpt.restore(state)
         log(f"resumed from step {int(state.step)}")
 
-    eval_apply = jax.jit(lambda v, b: model_apply(v, b))
+    eval_step = make_eval_step(cfg, model_apply)
     best = -np.inf if cfg.mode == "max" else np.inf
     best_test: dict = {}
     sign = 1.0 if cfg.mode == "max" else -1.0
@@ -371,7 +415,7 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
 
     if cfg.only_eval:
         test = evaluate(cfg, model_apply, state.variables, dataset, "test",
-                        block_size, n_max, e_max, eval_apply=eval_apply)
+                        block_size, n_max, e_max, eval_step=eval_step)
         logger.close()
         return test
 
@@ -392,7 +436,7 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
 
         train_loss = float(np.mean(epoch_losses))
         valid = evaluate(cfg, model_apply, state.variables, dataset, "valid",
-                        block_size, n_max, e_max, eval_apply=eval_apply)
+                        block_size, n_max, e_max, eval_step=eval_step)
         logger.write(epoch, {"loss": train_loss, "epoch_sec": time.time() - t0},
                      prefix="train/")
         logger.write(epoch, valid, prefix="valid/")
@@ -411,7 +455,7 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
         if sign * score > sign * best:
             best = score
             test = evaluate(cfg, model_apply, state.variables, dataset, "test",
-                            block_size, n_max, e_max, eval_apply=eval_apply)
+                            block_size, n_max, e_max, eval_step=eval_step)
             best_test = test
             logger.write(epoch, test, prefix="test/")
             ckpt.save(int(state.step), state, metrics={cfg.main_metric: float(score)})
