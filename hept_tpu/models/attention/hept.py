@@ -92,6 +92,10 @@ class HeptAttention(nn.Module):
     # call (c·h/2 fewer comparator rows at ~h·(dv+1)/2 sort operands —
     # TPU-compile-expensive, opt-in; see hept_attention_core_xcols).
     fold_unsort: bool = False
+    # Stacked flat batching: the flat n axis holds this many equal-size
+    # events, each riding the bucket sorts as its own batch row (linear in
+    # B; no batch-index AND codes). See hept_attention_core_xcols.
+    sort_events: int = 1
 
     @nn.compact
     def __call__(self, query, key, value, *, coords, codes, w_rpe_weight,
@@ -137,6 +141,7 @@ class HeptAttention(nn.Module):
                 shared_sort=self.shared_sort,
                 share_heads=self.share_heads,
                 fold_unsort=self.fold_unsort,
+                sort_events=self.sort_events,
             )  # (h, d, n)
             out = out.reshape(h * d, n).T
             if self.head_axis is not None:

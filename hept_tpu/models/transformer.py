@@ -79,6 +79,11 @@ class TransformerConfig:
     # call (fewer comparator rows, many sort operands — TPU-compile-heavy;
     # see ops/bucket_attn.py).
     fold_unsort: bool = False
+    # Stacked flat batching (requires qkv_post_sort): the flat point axis
+    # holds this many equal-size events, each bucket-sorted as its own batch
+    # row — linear in B, no batch-index AND codes (ops/bucket_attn.py
+    # sort_events). Set by make_flat_batched_apply(stacked=True) configs.
+    sort_events: int = 1
     num_classes: int = 1  # pileup head width
     # baseline-attention knobs (reference configs/*)
     pe_type: str = "none"  # none | learned | fixed
@@ -171,6 +176,7 @@ def _make_attention(cfg: TransformerConfig):
             shared_sort=cfg.shared_sort,
             share_heads=cfg.share_heads,
             fold_unsort=cfg.fold_unsort,
+            sort_events=cfg.sort_events,
             **common,
         )
     if cfg.attn_type == "performer":
@@ -628,15 +634,24 @@ def make_flat_batched_apply(model: HeptTransformer):
         xp, cp, codes, invalid, _, _ = jax.vmap(
             lambda xe, ce, ve: _prepare_event(xe, ce, ve, regions, cfg)
         )(x, coords, valid)
-        # (B, c, h, n) codes -> (c, h, B*n) with the batch index in the high
-        # bits (per-row bit_shift; codes are int-valued).
         c_, h_ = codes.shape[1:3]
-        codes_flat = jnp.moveaxis(codes, 0, 2).reshape(c_ * h_, b * n)
-        batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)[None, :]
-        codes_flat = bit_shift(
-            jnp.round(codes_flat).astype(jnp.int32),
-            jnp.broadcast_to(batch_idx, codes_flat.shape),
-        ).reshape(c_, h_, b * n)
+        if cfg.sort_events > 1:
+            # stacked mode: each event is its own sort row inside the
+            # attention core (ops/bucket_attn.py sort_events) — buckets
+            # cannot cross events, so no batch-index packing is needed.
+            assert cfg.sort_events == b, (
+                f"model built for sort_events={cfg.sort_events}, got B={b}"
+            )
+            codes_flat = jnp.moveaxis(codes, 0, 2).reshape(c_, h_, b * n)
+        else:
+            # (B, c, h, n) codes -> (c, h, B*n) with the batch index in the
+            # high bits (per-row bit_shift; codes are int-valued).
+            codes_flat = jnp.moveaxis(codes, 0, 2).reshape(c_ * h_, b * n)
+            batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)[None, :]
+            codes_flat = bit_shift(
+                jnp.round(codes_flat).astype(jnp.int32),
+                jnp.broadcast_to(batch_idx, codes_flat.shape),
+            ).reshape(c_, h_, b * n)
 
         prepared = (
             xp.reshape(b * n, -1),

@@ -294,7 +294,7 @@ def hept_attention_core_cols(
 @partial(jax.jit, static_argnames=("block_size", "impl", "sort_pack",
                                    "sort_ops", "unsort_pack", "hash_axis",
                                    "shared_sort", "share_heads",
-                                   "fold_unsort"))
+                                   "fold_unsort", "sort_events"))
 def hept_attention_core_xcols(
     x_cols: Array,
     coords_cols: Array,
@@ -315,6 +315,7 @@ def hept_attention_core_xcols(
     shared_sort: bool = False,
     share_heads: bool = False,
     fold_unsort: bool = False,
+    sort_events: int = 1,
 ) -> Array:
     """Post-sort-projection HEPT pipeline: sort the SHARED pre-projection
     activations instead of per-head q̂/k̂/v.
@@ -348,6 +349,14 @@ def hept_attention_core_xcols(
         (hept.py:93-104, per-head alpha); convergence-validated like
         shared_sort (PARITY.md divergences). Implies shared_sort (q and k
         share the single key set).
+      sort_events: stacked flat batching — the flat n axis holds B events of
+        n/B points each, and every event rides the sort's BATCH axis as its
+        own comparator row(s) instead of one concatenated row. lax.sort's
+        comparator cost is linear in rows but n·log n in row length
+        (ROADMAP: B=2 at 60k cost 1.2x/event via the concatenated row), so
+        stacking keeps flat batching linear in B. Buckets never cross events
+        by construction (separate sort rows), so no batch-index AND codes
+        are needed. n must be a multiple of sort_events · block_size.
     Returns: (h, dv, n) attention output columns.
     """
     h, d_model, d = wq.shape
@@ -355,13 +364,20 @@ def hept_attention_core_xcols(
     c = alpha.shape[-1]
     n = x_cols.shape[-1]
     dv = wv.shape[-1]
+    n_ev = sort_events  # event rows on the sort's batch axis
+    assert n % n_ev == 0, "n must divide by sort_events"
+    ne = n // n_ev
 
     if invalid is not None:
         keep = jnp.logical_not(invalid)[None, :]
         x_cols = jnp.where(keep, x_cols, 0.0)
         coords_cols = jnp.where(keep, coords_cols, 0.0)
 
-    xc = jnp.concatenate([x_cols, coords_cols], axis=0)  # (d_model + cd, n)
+    xc = jnp.concatenate([x_cols, coords_cols], axis=0)  # (d_xc, n)
+    d_xc = d_model + cd
+    # per-event payload rows for the sort's batch axis: (nb, d_xc, ne). The
+    # minor (lane) axis n is untouched, so this is a cheap major-dim copy.
+    xc_rows = jnp.moveaxis(xc.reshape(d_xc, n_ev, ne), 1, 0)
     # under sort_pack the sorted activations stay bf16 (they are bf16-rounded
     # by the pack anyway): the projection matmuls read half the bytes and the
     # MXU consumes bf16 natively (weights cast to bf16 for those matmuls)
@@ -377,14 +393,15 @@ def hept_attention_core_xcols(
             axis=1, keepdims=True
         )
         codes_s = jax.lax.stop_gradient(codes[:, 0]).astype(jnp.float32)
-        k_key = (hashed + codes_s * hash_shift)[:, None, :]  # (c, 1, n)
+        k_key = hashed + codes_s * hash_shift  # (c, n)
         if invalid is not None:
             big = jnp.asarray(3.0e38, jnp.float32)
-            k_key = jnp.where(invalid[None, None, :], big, k_key)
+            k_key = jnp.where(invalid[None, :], big, k_key)
         (sxk,), (q_src,) = grouped_sort_carry(
-            [k_key], [xc], pack=sort_pack, n_ops=sort_ops,
+            [k_key.reshape(c, n_ev, ne)], [xc_rows],
+            pack=sort_pack, n_ops=sort_ops,
             out_bf16=sort_pack,
-        )  # sxk (c, 1, d_model + cd, n); q_src (c, 1, n)
+        )  # sxk (c, n_ev, d_xc, ne); q_src (c, n_ev, ne)
         sxq = sxk
     else:
         # Compose the hash projections through the (bias-free) q/k/v
@@ -413,7 +430,7 @@ def hept_attention_core_xcols(
             k_key = jnp.where(invalid[None, None, :], big, k_key)
 
     if share_heads:
-        pass  # sorted above (single shared key set)
+        pass  # sorted above (single shared key set, one row per event)
     elif shared_sort:
         # TPU fast mode: bucket queries by the KEY hash order — one sorted
         # copy of [x|coords] serves q, k and v, halving the sort call's
@@ -424,45 +441,63 @@ def hept_attention_core_xcols(
         # composition is identical instead of independently chosen. The
         # n_hashes OR rounds still diversify the grouping; convergence is
         # validated on the synthetic tracking task (PARITY.md divergences).
+        xcb = jnp.broadcast_to(
+            xc_rows[None], (h, n_ev, d_xc, ne)
+        ).reshape(h * n_ev, d_xc, ne)
         (sxk,), (q_src,) = grouped_sort_carry(
-            [k_key], [xc], pack=sort_pack, n_ops=sort_ops,
+            [k_key.reshape(c, h * n_ev, ne)], [xcb],
+            pack=sort_pack, n_ops=sort_ops,
             out_bf16=sort_pack,
         )
-        sxq = sxk
+        sxq = sxk  # (c, h*n_ev, d_xc, ne)
     else:
+        xcb = jnp.broadcast_to(
+            xc_rows[None], (h, n_ev, d_xc, ne)
+        ).reshape(h * n_ev, d_xc, ne)
         (sxq, sxk), (q_src, _) = grouped_sort_carry(
-            [q_key, k_key], [xc, xc], pack=sort_pack, n_ops=sort_ops,
+            [q_key.reshape(c, h * n_ev, ne), k_key.reshape(c, h * n_ev, ne)],
+            [xcb, xcb], pack=sort_pack, n_ops=sort_ops,
             out_bf16=sort_pack,
-        )  # each (c, h, d_model + cd, n)
+        )  # each (c, h*n_ev, d_xc, ne)
 
-    def project(sx, w):
-        xs, cs = sx[:, :, :d_model], sx[:, :, d_model:]
-        if xs.shape[1] == 1:  # share_heads: one sorted copy serves all heads
+    if share_heads:
+        # sorted rows are per (hash, event) and shared by all heads
+        def project(sx, w):  # sx (c, n_ev, d_xc, ne)
+            xs, cs = sx[:, :, :d_model], sx[:, :, d_model:]
             proj = jnp.einsum(
-                "hed,cen->chdn", w.astype(xs.dtype), xs[:, 0],
+                "hed,cben->cbhdn", w.astype(xs.dtype), xs,
                 preferred_element_type=jnp.float32,
+            )  # (c, n_ev, h, d, ne)
+            rpe = sqrt_w[None, None, :, :, None] * cs[:, :, None].astype(
+                jnp.float32
             )
-        else:
-            proj = jnp.einsum(
-                "hed,chen->chdn", w.astype(xs.dtype), xs,
-                preferred_element_type=jnp.float32,
-            )
-        rpe = sqrt_w[None, :, :, None] * cs.astype(jnp.float32)
-        return jnp.concatenate([proj, rpe], axis=2)  # (c, h, d + cd, n)
+            return jnp.concatenate([proj, rpe], axis=3)
 
-    sq = project(sxq, wq).reshape(c * h, d + cd, n)
-    sk = project(sxk, wk).reshape(c * h, d + cd, n)
-    sxk_x = sxk[:, :, :d_model]
-    if sxk_x.shape[1] == 1:
+        sq = project(sxq, wq).reshape(c * n_ev * h, d + cd, ne)
+        sk = project(sxk, wk).reshape(c * n_ev * h, d + cd, ne)
+        sxk_x = sxk[:, :, :d_model]
         sv = jnp.einsum(
-            "hed,cen->chdn", wv.astype(sxk_x.dtype), sxk_x[:, 0],
+            "hed,cben->cbhdn", wv.astype(sxk_x.dtype), sxk_x,
             preferred_element_type=jnp.float32,
-        ).reshape(c * h, dv, n)
+        ).reshape(c * n_ev * h, dv, ne)
     else:
+        def project(sx, w):  # sx (c, h*n_ev, d_xc, ne)
+            sx = sx.reshape(c, h, n_ev, d_xc, ne)
+            xs, cs = sx[:, :, :, :d_model], sx[:, :, :, d_model:]
+            proj = jnp.einsum(
+                "hed,chben->chbdn", w.astype(xs.dtype), xs,
+                preferred_element_type=jnp.float32,
+            )  # (c, h, n_ev, d, ne)
+            rpe = sqrt_w[None, :, None, :, None] * cs.astype(jnp.float32)
+            return jnp.concatenate([proj, rpe], axis=3)
+
+        sq = project(sxq, wq).reshape(c * h * n_ev, d + cd, ne)
+        sk = project(sxk, wk).reshape(c * h * n_ev, d + cd, ne)
+        sxk_x = sxk.reshape(c, h, n_ev, d_xc, ne)[:, :, :, :d_model]
         sv = jnp.einsum(
-            "hed,chen->chdn", wv.astype(sxk_x.dtype), sxk_x,
+            "hed,chben->chbdn", wv.astype(sxk_x.dtype), sxk_x,
             preferred_element_type=jnp.float32,
-        ).reshape(c * h, dv, n)
+        ).reshape(c * h * n_ev, dv, ne)
 
     if impl in ("pallas", "hybrid") and jax.default_backend() == "tpu":
         from .bucket_attn_pallas import bucket_rbf_attention_cols_pallas
@@ -472,32 +507,43 @@ def hept_attention_core_xcols(
     else:
         denom, so = bucket_rbf_attention_cols_xla(sq, sk, sv, block_size)
 
-    od = jnp.concatenate([so, denom], axis=1).reshape(c, h, dv + 1, n)
+    od = jnp.concatenate([so, denom], axis=1)  # (rows, dv + 1, ne)
     # unsort precision: see hept_attention_core_cols
     if share_heads and fold_unsort:
-        # all heads share the per-hash permutation: the unsort rides c
-        # comparator rows with every head's [num|denom] as payload columns.
-        # CAVEAT: one lax.sort operand per packed column pair => ~h·(dv+1)/2
-        # operands, and XLA TPU sort compile time scales ~linearly in operand
-        # count (>10 min at ~100 operands) — opt-in until the one-time
-        # compile is paid into the persistent cache.
-        od_f = od.reshape(c, 1, h * (dv + 1), n)
+        # all heads share the per-(hash, event) permutation: the unsort rides
+        # c·n_ev comparator rows with every head's [num|denom] as payload
+        # columns. CAVEAT: one lax.sort operand per packed column pair =>
+        # ~h·(dv+1)/2 operands, and XLA TPU sort compile time scales
+        # ~linearly in operand count (>10 min at ~100 operands) — opt-in
+        # until the one-time compile is paid into the persistent cache.
+        od_f = od.reshape(c, n_ev, h * (dv + 1), ne)
         (odu,), _ = grouped_sort_carry([q_src], [od_f], pack=unsort_pack,
                                        n_ops=sort_ops)
-        od_unsorted = odu.reshape(c, h, dv + 1, n)
+        od_unsorted = odu.reshape(c, n_ev, h, dv + 1, ne)
     elif share_heads:
         # broadcast the shared permutation to all heads: same call shape as
-        # the per-head unsort (c·h comparator rows, (dv+1)/2 operands)
-        src_b = jnp.broadcast_to(q_src, (c, h, n))
-        (od_unsorted,), _ = grouped_sort_carry([src_b], [od],
-                                               pack=unsort_pack,
-                                               n_ops=sort_ops)
+        # the per-head unsort (c·h·n_ev comparator rows, (dv+1)/2 operands)
+        src_b = jnp.broadcast_to(
+            q_src[:, :, None], (c, n_ev, h, ne)
+        ).reshape(c, n_ev * h, ne)
+        (odu,), _ = grouped_sort_carry(
+            [src_b], [od.reshape(c, n_ev * h, dv + 1, ne)],
+            pack=unsort_pack, n_ops=sort_ops,
+        )
+        od_unsorted = odu.reshape(c, n_ev, h, dv + 1, ne)
     else:
-        (od_unsorted,), _ = grouped_sort_carry([q_src], [od], pack=unsort_pack,
-                                               n_ops=sort_ops)
-    o, logits = od_unsorted[:, :, :dv], od_unsorted[:, :, dv:]
-    o_sum, l_sum = o.sum(axis=0), logits.sum(axis=0)
+        (odu,), _ = grouped_sort_carry(
+            [q_src], [od.reshape(c, h * n_ev, dv + 1, ne)],
+            pack=unsort_pack, n_ops=sort_ops,
+        )
+        od_unsorted = odu.reshape(c, h, n_ev, dv + 1, ne).transpose(
+            0, 2, 1, 3, 4
+        )
+    # (c, n_ev, h, dv + 1, ne)
+    o, logits = od_unsorted[:, :, :, :dv], od_unsorted[:, :, :, dv:]
+    o_sum, l_sum = o.sum(axis=0), logits.sum(axis=0)  # (n_ev, h, ·, ne)
     if hash_axis is not None:
         o_sum = jax.lax.psum(o_sum, hash_axis)
         l_sum = jax.lax.psum(l_sum, hash_axis)
-    return stable_ratio(o_sum, l_sum)
+    out = stable_ratio(o_sum, l_sum)  # (n_ev, h, dv, ne)
+    return jnp.moveaxis(out, 0, 2).reshape(h, dv, n)
