@@ -95,6 +95,11 @@ def main():
             # [x|coords] serves q/k/v, halving the dominant sort call
             # (convergence-validated: acc@0.9 0.9424 vs 0.9432 separate,
             # scripts/validate_shared_sort.py)
+            share_heads=True,  # ONE bucket grid per OR round shared by all
+            # heads: n_hashes sort rows instead of n_hashes*num_heads, one
+            # sorted [x|coords] copy instead of num_heads (step 305.8 ->
+            # 240.4 ms; convergence-validated: acc@0.9 0.9433 vs 0.9446
+            # shared_sort, scripts/validate_share_heads.py)
         )
         base.update(overrides)
         return TransformerConfig(**base)

@@ -1,0 +1,44 @@
+"""Train the pileup fast config on synthetic 60k-point events to a real AP
+curve on TPU — the pileup co-workload's end-to-end evidence run (reference
+src/pileup_trainer.py:90-169: focal loss, plateau scheduler, per-batch
+AP/ROC/F1 on neutral points), mirroring scripts/train_60k_demo.py."""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from hept_tpu.data.datasets import make_synthetic_pileup
+from hept_tpu.train.config import ExperimentConfig
+from hept_tpu.train.trainer import run_one_seed
+
+ds = make_synthetic_pileup(n_events=10, n_points=60_000, seed=0)
+
+cfg = ExperimentConfig(
+    task="pileup",
+    loss_name="focal",
+    model_kwargs=dict(
+        block_size=100, n_hashes=3, num_regions=140, num_heads=8,
+        h_dim=24, n_layers=4, num_w_per_dist=10, sort_pack=True,
+        sort_ops=8, qkv_post_sort=True, scan_layers=True,
+        unsort_pack=True, shared_sort=True,
+    ),
+    optimizer_kwargs={"lr": 1e-3},
+    lr_scheduler_name="impatient",  # ReduceLROnPlateau (factor .5, patience 20)
+    lr_scheduler_kwargs={"factor": 0.5, "patience": 20},
+    num_epochs=25,
+    batch_size=1,
+    batch_mode="flat",
+    n_devices=1,
+    main_metric="auc",
+    mode="max",
+    log_dir="/tmp/train_pileup60k",
+    attn_impl="hybrid",
+)
+res = run_one_seed(cfg, dataset=ds)
+print("RESULT pileup-60k: " + " ".join(
+    f"{k}={v:.4f}" for k, v in sorted(res.items())
+), flush=True)
