@@ -229,6 +229,37 @@ def test_full_model_golden_single_event():
 
 
 @pytest.mark.skipif(not CKPT.exists(), reason="reference checkpoint not present")
+def test_full_model_golden_large_event():
+    """Large-fixture parity (round-2 VERDICT missing #1's offline slice):
+    shipped checkpoint, n=6000 — two orders of magnitude more buckets than
+    the tiny goldens, so bucket-boundary/padding/regions arithmetic is
+    exercised at realistic multi-bucket scale. Real-data validation proper
+    still needs the Zenodo archives (no egress)."""
+    torch = pytest.importorskip("torch")
+    from hept_tpu.models import HeptTransformer
+    from hept_tpu.utils.convert import load_reference_checkpoint
+
+    ref_model, in_dim, coords_dim = _load_reference_model()
+    n = 6000
+    x, coords = _event(3, n, in_dim, coords_dim)
+
+    with torch.no_grad():
+        ref_out = ref_model(
+            torch.from_numpy(x), torch.from_numpy(coords),
+            torch.zeros(n, dtype=torch.long),
+        ).numpy()
+
+    model = HeptTransformer(_golden_cfg(in_dim, coords_dim))
+    variables = load_reference_checkpoint(str(CKPT))
+    out = np.asarray(
+        model.apply(variables, jnp.asarray(x), jnp.asarray(coords),
+                    jnp.ones(n, bool))
+    )
+    assert ref_out.shape == out.shape == (n, 12)
+    _assert_golden(out, ref_out)
+
+
+@pytest.mark.skipif(not CKPT.exists(), reason="reference checkpoint not present")
 def test_full_model_golden_ragged_batch():
     """Same parity through the flat ragged-batch path (batch-index AND codes)
     vs the reference's concatenated batch."""
