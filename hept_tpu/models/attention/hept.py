@@ -96,6 +96,9 @@ class HeptAttention(nn.Module):
     # events, each riding the bucket sorts as its own batch row (linear in
     # B; no batch-index AND codes). See hept_attention_core_xcols.
     sort_events: int = 1
+    # Feed the bucket kernels bf16 operands (MXU-native one-pass dots, half
+    # the kernel HBM bytes; f32 accumulation). See hept_attention_core_xcols.
+    kernel_bf16: bool = False
 
     @nn.compact
     def __call__(self, query, key, value, *, coords, codes, w_rpe_weight,
@@ -142,6 +145,7 @@ class HeptAttention(nn.Module):
                 share_heads=self.share_heads,
                 fold_unsort=self.fold_unsort,
                 sort_events=self.sort_events,
+                kernel_bf16=self.kernel_bf16,
             )  # (h, d, n)
             out = out.reshape(h * d, n).T
             if self.head_axis is not None:

@@ -84,6 +84,11 @@ class TransformerConfig:
     # row — linear in B, no batch-index AND codes (ops/bucket_attn.py
     # sort_events). Set by make_flat_batched_apply(stacked=True) configs.
     sort_events: int = 1
+    # Feed the bucket kernels bf16 operands (requires qkv_post_sort): one-
+    # pass MXU dots + half the kernel HBM bytes; values are bf16-rounded by
+    # sort_pack anyway, bias terms ride double-bf16 rows in the Pallas
+    # kernels. Convergence-validated divergence (PARITY.md).
+    kernel_bf16: bool = False
     num_classes: int = 1  # pileup head width
     # baseline-attention knobs (reference configs/*)
     pe_type: str = "none"  # none | learned | fixed
@@ -177,6 +182,7 @@ def _make_attention(cfg: TransformerConfig):
             share_heads=cfg.share_heads,
             fold_unsort=cfg.fold_unsort,
             sort_events=cfg.sort_events,
+            kernel_bf16=cfg.kernel_bf16,
             **common,
         )
     if cfg.attn_type == "performer":

@@ -179,23 +179,28 @@ def bucket_rbf_attention_cols_xla(sq: Array, sk: Array, sv: Array, block_size: i
                                   precision=None):
     """Column-major per-bucket RBF attention, einsum path (CPU/golden).
 
-    Args: sq, sk: (r, d, n); sv: (r, dv, n), n = nb * B.
-    Returns: (denom (r, 1, n), so (r, dv, n)).
+    Args: sq, sk: (r, d, n); sv: (r, dv, n), n = nb * B. bf16 inputs run the
+    MXU-native mixed-precision path (bf16 operands, f32 accumulation; p cast
+    to bf16 for the value matmul) — used by the kernel_bf16 fast mode.
+    Returns: (denom (r, 1, n), so (r, dv, n)) f32.
     """
     r, d, n = sq.shape
     dv = sv.shape[1]
     nb = n // block_size
+    bf16 = sq.dtype == jnp.bfloat16
     q = sq.reshape(r, d, nb, block_size)
     k = sk.reshape(r, d, nb, block_size)
     v = sv.reshape(r, dv, nb, block_size)
     logits = jnp.einsum("rdgi,rdgj->rgij", q, k,
                         preferred_element_type=jnp.float32, precision=precision)
-    q_sq = -0.5 * jnp.sum(q * q, axis=1)  # (r, nb, B)
-    k_sq = -0.5 * jnp.sum(k * k, axis=1)
+    qf = q.astype(jnp.float32) if bf16 else q
+    kf = k.astype(jnp.float32) if bf16 else k
+    q_sq = -0.5 * jnp.sum(qf * qf, axis=1)  # (r, nb, B)
+    k_sq = -0.5 * jnp.sum(kf * kf, axis=1)
     logits = logits + q_sq[..., :, None] + k_sq[..., None, :]
     p = jnp.exp(jnp.minimum(logits, 0.0))
     denom = jnp.sum(p, axis=-1) + DENOM_EPS  # (r, nb, B)
-    so = jnp.einsum("rdgj,rgij->rdgi", v, p,
+    so = jnp.einsum("rdgj,rgij->rdgi", v, p.astype(sv.dtype) if bf16 else p,
                     preferred_element_type=jnp.float32, precision=precision)
     return denom.reshape(r, 1, n), so.reshape(r, dv, n)
 
@@ -294,7 +299,8 @@ def hept_attention_core_cols(
 @partial(jax.jit, static_argnames=("block_size", "impl", "sort_pack",
                                    "sort_ops", "unsort_pack", "hash_axis",
                                    "shared_sort", "share_heads",
-                                   "fold_unsort", "sort_events"))
+                                   "fold_unsort", "sort_events",
+                                   "kernel_bf16"))
 def hept_attention_core_xcols(
     x_cols: Array,
     coords_cols: Array,
@@ -316,6 +322,7 @@ def hept_attention_core_xcols(
     share_heads: bool = False,
     fold_unsort: bool = False,
     sort_events: int = 1,
+    kernel_bf16: bool = False,
 ) -> Array:
     """Post-sort-projection HEPT pipeline: sort the SHARED pre-projection
     activations instead of per-head q̂/k̂/v.
@@ -460,17 +467,20 @@ def hept_attention_core_xcols(
             out_bf16=sort_pack,
         )  # each (c, h*n_ev, d_xc, ne)
 
+    # kernel_bf16: the bucket kernels consume bf16 operands (MXU-native one-
+    # pass dots, half the kernel HBM bytes); values are already bf16-rounded
+    # by sort_pack, so the extra rounding is one post-projection quantize.
+    ptype = jnp.bfloat16 if kernel_bf16 else jnp.float32
     if share_heads:
         # sorted rows are per (hash, event) and shared by all heads
         def project(sx, w):  # sx (c, n_ev, d_xc, ne)
             xs, cs = sx[:, :, :d_model], sx[:, :, d_model:]
             proj = jnp.einsum(
                 "hed,cben->cbhdn", w.astype(xs.dtype), xs,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=ptype,
             )  # (c, n_ev, h, d, ne)
-            rpe = sqrt_w[None, None, :, :, None] * cs[:, :, None].astype(
-                jnp.float32
-            )
+            rpe = (sqrt_w[None, None, :, :, None]
+                   * cs[:, :, None].astype(jnp.float32)).astype(ptype)
             return jnp.concatenate([proj, rpe], axis=3)
 
         sq = project(sxq, wq).reshape(c * n_ev * h, d + cd, ne)
@@ -478,7 +488,7 @@ def hept_attention_core_xcols(
         sxk_x = sxk[:, :, :d_model]
         sv = jnp.einsum(
             "hed,cben->cbhdn", wv.astype(sxk_x.dtype), sxk_x,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=ptype,
         ).reshape(c * n_ev * h, dv, ne)
     else:
         def project(sx, w):  # sx (c, h*n_ev, d_xc, ne)
@@ -486,9 +496,10 @@ def hept_attention_core_xcols(
             xs, cs = sx[:, :, :, :d_model], sx[:, :, :, d_model:]
             proj = jnp.einsum(
                 "hed,chben->chbdn", w.astype(xs.dtype), xs,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=ptype,
             )  # (c, h, n_ev, d, ne)
-            rpe = sqrt_w[None, :, None, :, None] * cs.astype(jnp.float32)
+            rpe = (sqrt_w[None, :, None, :, None]
+                   * cs.astype(jnp.float32)).astype(ptype)
             return jnp.concatenate([proj, rpe], axis=3)
 
         sq = project(sxq, wq).reshape(c * h * n_ev, d + cd, ne)
@@ -496,7 +507,7 @@ def hept_attention_core_xcols(
         sxk_x = sxk.reshape(c, h, n_ev, d_xc, ne)[:, :, :, :d_model]
         sv = jnp.einsum(
             "hed,chben->chbdn", wv.astype(sxk_x.dtype), sxk_x,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=ptype,
         ).reshape(c * h * n_ev, dv, ne)
 
     if impl in ("pallas", "hybrid") and jax.default_backend() == "tpu":

@@ -261,6 +261,15 @@ def _pad_buckets(x4, nb_pad):
     return jnp.pad(x4, [(0, 0), (0, 0), (0, pad), (0, 0)])
 
 
+def _split_rows(x):
+    """(1, B) f32 -> two bf16 rows (hi, lo) with hi + lo ≈ x to ~bf16²
+    relative error — lets large bias terms (-½|q̂|² can be O(100)) ride a
+    bf16 augmented contraction without corrupting the RBF exponent."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def _fwd_cols_kernel(q_ref, k_ref, v_ref, denom_ref, so_ref, *, g: int):
     """Transpose-free per-bucket forward.
 
@@ -271,26 +280,42 @@ def _fwd_cols_kernel(q_ref, k_ref, v_ref, denom_ref, so_ref, *, g: int):
     denominator is a sublane reduction landing directly in lane layout, and
     all dots are jnp.dot-form or A^T B-form (no A·B^T). Lane<->sublane
     vector shuffles were the round-1 kernels' hidden cost (measured ~6x on
-    the backward; scripts/profile_kernel_r2d.py)."""
+    the backward; scripts/profile_kernel_r2d.py).
+
+    bf16 refs (kernel_bf16 fast mode) run the dots MXU-native (one pass vs
+    HIGHEST-f32's six) with f32 accumulation; the f32 bias vectors are
+    double-bf16-split (hi+lo rows) so the q·k-vs-|q|² cancellation in the
+    RBF exponent keeps ~f32 accuracy."""
     bs = q_ref.shape[-1]
-    ones_row = jnp.ones((1, bs), jnp.float32)
+    bf16 = q_ref.dtype == jnp.bfloat16
+    prec = None if bf16 else jax.lax.Precision.HIGHEST
+    ones_row = jnp.ones((1, bs), q_ref.dtype)
     for i in range(g):
         q = q_ref[0, :, i, :]  # (d, B)
         k = k_ref[0, :, i, :]
         v = v_ref[0, :, i, :]
-        q_sq = -0.5 * jnp.sum(q * q, axis=0)[None, :]  # (1, Bq) lanes
-        k_sq = -0.5 * jnp.sum(k * k, axis=0)[None, :]  # (1, Bk) lanes
-        qa = jnp.concatenate([q, q_sq, ones_row], axis=0)  # (d+2, Bq)
-        ka = jnp.concatenate([k, ones_row, k_sq], axis=0)  # (d+2, Bk)
+        qf = q.astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        q_sq = -0.5 * jnp.sum(qf * qf, axis=0)[None, :]  # (1, Bq) lanes
+        k_sq = -0.5 * jnp.sum(kf * kf, axis=0)[None, :]  # (1, Bk) lanes
+        if bf16:
+            q_hi, q_lo = _split_rows(q_sq)
+            k_hi, k_lo = _split_rows(k_sq)
+            qa = jnp.concatenate([q, q_hi, q_lo, ones_row, ones_row], axis=0)
+            ka = jnp.concatenate([k, ones_row, ones_row, k_hi, k_lo], axis=0)
+        else:
+            qa = jnp.concatenate([q, q_sq, ones_row], axis=0)  # (d+2, Bq)
+            ka = jnp.concatenate([k, ones_row, k_sq], axis=0)  # (d+2, Bk)
         logits_t = jax.lax.dot_general(  # (Bk, Bq) = ka^T qa
             ka, qa, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST
+            precision=prec
         )
         pt = jnp.exp(jnp.minimum(logits_t, 0.0))  # (Bk, Bq)
         denom_ref[0, 0, i, :] = jnp.sum(pt, axis=0) + DENOM_EPS
         so_ref[0, :, i, :] = jax.lax.dot_general(  # v (dv,Bk) @ pt -> (dv,Bq)
-            v, pt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST
+            v, pt.astype(q_ref.dtype) if bf16 else pt,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=prec
         )
 
 
@@ -303,53 +328,66 @@ def _bwd_cols_kernel(
     faster than the round-1 formulation (60 -> 10 ms at tracking-60k
     shapes)."""
     bs = q_ref.shape[-1]
-    ones_row = jnp.ones((1, bs), jnp.float32)
+    bf16 = q_ref.dtype == jnp.bfloat16
+    prec = None if bf16 else jax.lax.Precision.HIGHEST
+    cdt = q_ref.dtype  # contraction operand dtype
+    ones_row = jnp.ones((1, bs), cdt)
     for i in range(g):
         q = q_ref[0, :, i, :]
         k = k_ref[0, :, i, :]
         v = v_ref[0, :, i, :]
         g_so = gso_ref[0, :, i, :]  # (dv, Bq)
         g_den = gden_ref[0:1, 0, i, :]  # (1, Bq) lanes
-        q_sq = -0.5 * jnp.sum(q * q, axis=0)[None, :]
-        k_sq = -0.5 * jnp.sum(k * k, axis=0)[None, :]
-        qa = jnp.concatenate([q, q_sq, ones_row], axis=0)
-        ka = jnp.concatenate([k, ones_row, k_sq], axis=0)
+        qf = q.astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        q_sq = -0.5 * jnp.sum(qf * qf, axis=0)[None, :]
+        k_sq = -0.5 * jnp.sum(kf * kf, axis=0)[None, :]
+        if bf16:
+            q_hi, q_lo = _split_rows(q_sq)
+            k_hi, k_lo = _split_rows(k_sq)
+            qa = jnp.concatenate([q, q_hi, q_lo, ones_row, ones_row], axis=0)
+            ka = jnp.concatenate([k, ones_row, ones_row, k_hi, k_lo], axis=0)
+        else:
+            qa = jnp.concatenate([q, q_sq, ones_row], axis=0)
+            ka = jnp.concatenate([k, ones_row, k_sq], axis=0)
         logits_t = jax.lax.dot_general(  # (Bk, Bq)
             ka, qa, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST
+            precision=prec
         )
         pt = jnp.exp(jnp.minimum(logits_t, 0.0))
         # dL/dp^T = (g_so . v + g_den)^T via augmented (0,0) contraction
         va = jnp.concatenate([v, ones_row], axis=0)  # (dv+1, Bk)
-        ga = jnp.concatenate([g_so, g_den], axis=0)  # (dv+1, Bq)
+        ga = jnp.concatenate([g_so, g_den.astype(cdt)], axis=0)  # (dv+1, Bq)
         gpt = jax.lax.dot_general(
             va, ga, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST
+            precision=prec
         )
-        dlt = jnp.where(logits_t < 0.0, pt * gpt, 0.0)  # (Bk, Bq)
+        dlt = jnp.where(logits_t < 0.0, pt * gpt, 0.0)  # (Bk, Bq) f32
+        dlt_c = dlt.astype(cdt) if bf16 else dlt
+        pt_c = pt.astype(cdt) if bf16 else pt
         row_sum = jnp.sum(dlt, axis=0)[None, :]  # (1, Bq), sublane reduce
         dq_ref[0, :, i, :] = (
             jax.lax.dot_general(  # k (d,Bk) @ dlt -> (d, Bq)
-                k, dlt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST
+                k, dlt_c, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec
             )
-            - row_sum * q
+            - row_sum * qf
         )
         col_sum = jax.lax.dot_general(  # (1, Bk): ones-row MXU reduction
-            ones_row, dlt, (((1,), (1,)), ((), ())),
+            ones_row, dlt_c, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
         dk_ref[0, :, i, :] = (
             jax.lax.dot_general(  # q (d,Bq) x dlt (Bk,Bq) -> (d, Bk)
-                q, dlt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST
+                q, dlt_c, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec
             )
-            - col_sum * k
+            - col_sum * kf
         )
         dv_ref[0, :, i, :] = jax.lax.dot_general(  # g_so (dv,Bq) x pt -> (dv,Bk)
-            g_so, pt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST
+            g_so, pt_c, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec
         )
 
 
@@ -365,9 +403,11 @@ def _make_cols_pallas(bs: int, hybrid: bool = False):
         from .bucket_attn import bucket_rbf_attention_cols_xla
 
         def _fwd(sq, sk, sv):
-            return bucket_rbf_attention_cols_xla(
-                sq, sk, sv, bs, precision=jax.lax.Precision.HIGHEST
-            )
+            # bf16 operands (kernel_bf16): default precision IS the native
+            # one-pass MXU path; HIGHEST would force the six-pass f32 dance.
+            prec = (None if sq.dtype == jnp.bfloat16
+                    else jax.lax.Precision.HIGHEST)
+            return bucket_rbf_attention_cols_xla(sq, sk, sv, bs, precision=prec)
     else:
         def _fwd(sq, sk, sv):
             return _fwd_cols_impl(sq, sk, sv, bs)
@@ -449,6 +489,11 @@ def _fwd_cols_impl(sq: Array, sk: Array, sv: Array, bs: int):
 def _bwd_cols_impl(residuals, grads, bs):
     sq, sk, sv = residuals
     g_denom, g_so = grads
+    # kernel_bf16: contraction operands (incl. the g_so cotangent) ride the
+    # MXU in the primal dtype; accumulation and outputs stay f32, cast back
+    # to the primal dtype at the VJP boundary.
+    g_so = g_so.astype(sv.dtype)
+    g_denom = g_denom.astype(jnp.float32)
     r, d, n = sq.shape
     dv = sv.shape[1]
     nb = n // bs
@@ -489,7 +534,7 @@ def _bwd_cols_impl(residuals, grads, bs):
         ),
     )(sq, sk, sv, g_so, g_denom)
     return (
-        dq[:, :, :nb].reshape(r, d, n),
-        dk[:, :, :nb].reshape(r, d, n),
-        dv_out[:, :, :nb].reshape(r, dv, n),
+        dq[:, :, :nb].reshape(r, d, n).astype(sq.dtype),
+        dk[:, :, :nb].reshape(r, d, n).astype(sk.dtype),
+        dv_out[:, :, :nb].reshape(r, dv, n).astype(sv.dtype),
     )

@@ -141,6 +141,108 @@ class TestColsKernels:
             )
 
 
+class TestColsKernelsBf16:
+    """kernel_bf16 mode: bf16 operands, f32 accumulation, double-bf16 bias
+    rows — must stay within bf16-rounding distance of the f32 path."""
+
+    def _data(self, r=4, d=6, dv=5, nb=10, bs=8):
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+        n = nb * bs
+        return (
+            _rand(k1, (r, d, n)),
+            _rand(k2, (r, d, n)),
+            _rand(k3, (r, dv, n)),
+        )
+
+    def test_fwd_close_to_f32(self):
+        from hept_tpu.ops.bucket_attn import bucket_rbf_attention_cols_xla
+        from hept_tpu.ops.bucket_attn_pallas import (
+            bucket_rbf_attention_cols_pallas,
+        )
+
+        sq, sk, sv = self._data()
+        den_x, so_x = bucket_rbf_attention_cols_xla(sq, sk, sv, 8)
+        b = jnp.bfloat16
+        with _ctx():
+            den_p, so_p = bucket_rbf_attention_cols_pallas(
+                sq.astype(b), sk.astype(b), sv.astype(b), block_size=8)
+        assert den_p.dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(den_p), np.asarray(den_x), rtol=3e-2, atol=1e-2)
+        np.testing.assert_allclose(
+            np.asarray(so_p), np.asarray(so_x), rtol=5e-2, atol=3e-2)
+
+    def test_bwd_close_to_f32(self):
+        from hept_tpu.ops.bucket_attn import bucket_rbf_attention_cols_xla
+        from hept_tpu.ops.bucket_attn_pallas import (
+            bucket_rbf_attention_cols_pallas,
+        )
+
+        sq, sk, sv = self._data()
+
+        def loss_x(sq, sk, sv):
+            den, so = bucket_rbf_attention_cols_xla(sq, sk, sv, 8)
+            return jnp.sum(so / den)
+
+        def loss_p(sq, sk, sv):
+            den, so = bucket_rbf_attention_cols_pallas(
+                sq, sk, sv, block_size=8)
+            return jnp.sum(so / den)
+
+        b = jnp.bfloat16
+        g_x = jax.grad(loss_x, argnums=(0, 1, 2))(sq, sk, sv)
+        with _ctx():
+            g_p = jax.grad(loss_p, argnums=(0, 1, 2))(
+                sq.astype(b), sk.astype(b), sv.astype(b))
+        for a, gp, nm in zip(g_x, g_p, ("dq", "dk", "dv")):
+            assert gp.dtype == b, nm
+            scale = np.abs(np.asarray(a)).max()
+            np.testing.assert_allclose(
+                np.asarray(gp, np.float32), np.asarray(a),
+                rtol=6e-2, atol=6e-2 * scale, err_msg=nm,
+            )
+
+    def test_xla_cols_bf16_close(self):
+        from hept_tpu.ops.bucket_attn import bucket_rbf_attention_cols_xla
+
+        sq, sk, sv = self._data()
+        den_x, so_x = bucket_rbf_attention_cols_xla(sq, sk, sv, 8)
+        b = jnp.bfloat16
+        den_b, so_b = bucket_rbf_attention_cols_xla(
+            sq.astype(b), sk.astype(b), sv.astype(b), 8)
+        assert den_b.dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(den_b), np.asarray(den_x), rtol=3e-2, atol=1e-2)
+        np.testing.assert_allclose(
+            np.asarray(so_b), np.asarray(so_x), rtol=5e-2, atol=3e-2)
+
+
+def test_model_kernel_bf16_close():
+    """End-to-end: kernel_bf16 model output within mixed-precision tolerance
+    of the f32-kernel model (same params/constants; XLA path on CPU)."""
+    import dataclasses
+
+    from hept_tpu.models import HeptTransformer, TransformerConfig
+
+    cfg = TransformerConfig(
+        in_dim=5, coords_dim=4, h_dim=8, num_heads=2, n_layers=2,
+        block_size=16, n_hashes=2, num_regions=9, num_w_per_dist=3,
+        padding_mode="replicate", qkv_post_sort=True, share_heads=True,
+    )
+    model = HeptTransformer(cfg)
+    key = jax.random.PRNGKey(0)
+    kx, kc, kp = jax.random.split(key, 3)
+    x = jax.random.normal(kx, (64, cfg.in_dim))
+    coords = jax.random.normal(kc, (64, cfg.coords_dim))
+    valid = jnp.ones(64, dtype=bool)
+    variables = model.init(kp, x, coords, valid)
+    m2 = HeptTransformer(dataclasses.replace(cfg, kernel_bf16=True))
+    o1 = np.asarray(model.apply(variables, x, coords, valid))
+    o2 = np.asarray(m2.apply(variables, x, coords, valid))
+    scale = np.abs(o1).max()
+    np.testing.assert_allclose(o2, o1, rtol=5e-2, atol=2e-2 * scale)
+
+
 def test_bitonic_sort_rows_interpret():
     """Pallas bitonic multi-operand sort (ops/sort_pallas.py, kept as a
     validated negative result) matches lax.sort(num_keys=2) exactly —
