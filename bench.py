@@ -106,7 +106,6 @@ def main():
 
     cfg = make_cfg()
     model = HeptTransformer(cfg)
-    flat_apply = make_flat_batched_apply(model)
     tx = make_optimizer("adam", lr=1e-2)
 
     def pack(b):
@@ -123,6 +122,13 @@ def main():
         import jax
 
         mdl = mdl or model
+        if b > 1:
+            # stacked flat batching: each event rides the bucket sorts as its
+            # own batch row — linear in B (ops/bucket_attn.py sort_events),
+            # unlike the round-2 concatenated-row flat batch whose sort
+            # comparator grew n log n (B=2 was 1.2x/event).
+            mdl = HeptTransformer(make_cfg(sort_events=b))
+            flat_apply = make_flat_batched_apply(mdl)
 
         @jax.jit
         def train_step(state, bt):

@@ -95,3 +95,9 @@ if __name__ == "__main__":
         run("share_heads", {"share_heads": True})
     if which in ("both", "ss"):
         run("shared_sort", {"shared_sort": True})
+    if which == "kb":
+        run("share_heads+kernel_bf16",
+            {"share_heads": True, "kernel_bf16": True})
+    if which == "kb2":  # stacked B=2 at 60k with the full fast stack
+        run("share_heads+kernel_bf16 (B=1 ref)",
+            {"share_heads": True, "kernel_bf16": True})
