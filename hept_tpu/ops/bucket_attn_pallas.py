@@ -296,14 +296,26 @@ def _fwd_cols_kernel(q_ref, k_ref, v_ref, denom_ref, so_ref, *, g: int):
         v = v_ref[0, :, i, :]
         qf = q.astype(jnp.float32)
         kf = k.astype(jnp.float32)
-        q_sq = -0.5 * jnp.sum(qf * qf, axis=0)[None, :]  # (1, Bq) lanes
-        k_sq = -0.5 * jnp.sum(kf * kf, axis=0)[None, :]  # (1, Bk) lanes
         if bf16:
+            # Mosaic rejects sublane multi_reduction over the offset layout
+            # the bf16->f32 extend produces; ride the MXU (f32 ones-row
+            # matvec) for the |q|^2 / |k|^2 sums instead.
+            ones_d = jnp.ones((1, q.shape[0]), jnp.float32)
+            q_sq = -0.5 * jax.lax.dot_general(
+                ones_d, qf * qf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (1, Bq) lanes
+            k_sq = -0.5 * jax.lax.dot_general(
+                ones_d, kf * kf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
             q_hi, q_lo = _split_rows(q_sq)
             k_hi, k_lo = _split_rows(k_sq)
             qa = jnp.concatenate([q, q_hi, q_lo, ones_row, ones_row], axis=0)
             ka = jnp.concatenate([k, ones_row, ones_row, k_hi, k_lo], axis=0)
         else:
+            q_sq = -0.5 * jnp.sum(qf * qf, axis=0)[None, :]  # (1, Bq) lanes
+            k_sq = -0.5 * jnp.sum(kf * kf, axis=0)[None, :]  # (1, Bk) lanes
             qa = jnp.concatenate([q, q_sq, ones_row], axis=0)  # (d+2, Bq)
             ka = jnp.concatenate([k, ones_row, k_sq], axis=0)  # (d+2, Bk)
         logits_t = jax.lax.dot_general(  # (Bk, Bq) = ka^T qa
@@ -340,8 +352,22 @@ def _bwd_cols_kernel(
         g_den = gden_ref[0:1, 0, i, :]  # (1, Bq) lanes
         qf = q.astype(jnp.float32)
         kf = k.astype(jnp.float32)
-        q_sq = -0.5 * jnp.sum(qf * qf, axis=0)[None, :]
-        k_sq = -0.5 * jnp.sum(kf * kf, axis=0)[None, :]
+        if bf16:
+            # Mosaic rejects sublane multi_reduction over the offset layout
+            # the bf16->f32 extend produces; ride the MXU (f32 ones-row
+            # matvec) for the |q|^2 / |k|^2 sums instead.
+            ones_d = jnp.ones((1, q.shape[0]), jnp.float32)
+            q_sq = -0.5 * jax.lax.dot_general(
+                ones_d, qf * qf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (1, Bq)
+            k_sq = -0.5 * jax.lax.dot_general(
+                ones_d, kf * kf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            q_sq = -0.5 * jnp.sum(qf * qf, axis=0)[None, :]
+            k_sq = -0.5 * jnp.sum(kf * kf, axis=0)[None, :]
         if bf16:
             q_hi, q_lo = _split_rows(q_sq)
             k_hi, k_lo = _split_rows(k_sq)
