@@ -150,11 +150,33 @@ def _folded_sort(keys: Array, payload: Array, pack: bool, with_iota: bool):
     return _u32_rows_to_payload(sorted_rows, d, pack), src
 
 
-def _cols_to_u32(cols: Array, pack: bool) -> tuple[Array, int]:
+def _cols_to_u32(cols: Array, pack) -> tuple[Array, int]:
     """(c, h, d, n) float column payload -> (c, h, D, n) u32 rows (no
-    transpose; column layout is the native sort layout). pack packs adjacent
-    column PAIRS (d axis) as bf16 into u32."""
+    transpose; column layout is the native sort layout).
+
+    pack modes: False = exact f32 bitcast (D == d); True = adjacent column
+    PAIRS as bf16 into u32 (half the bytes, ~0.4% rounding); "fp8" = all but
+    the LAST column as float8_e4m3fn QUADS into u32 (quarter the bytes, ~6%
+    rounding) with the last column as a bf16 pair — the [numerator | denom]
+    unsort encoding (the denominator must keep bf16 range: e4m3 flushes the
+    1e-20 eps floor to zero)."""
     c, h, d, n = cols.shape
+    if pack == "fp8":
+        num, den = cols[:, :, :-1], cols[:, :, -1:]
+        pad4 = (-num.shape[2]) % 4
+        if pad4:
+            num = jnp.pad(num, [(0, 0), (0, 0), (0, pad4), (0, 0)])
+        f8 = num.astype(jnp.float8_e4m3fn).reshape(c, h, -1, 4, n)
+        f8 = jnp.swapaxes(f8, -2, -1)  # (c,h,D8,n,4)
+        u_num = jax.lax.bitcast_convert_type(f8, jnp.uint32)  # (c,h,D8,n)
+        bf = jnp.concatenate(
+            [den.astype(jnp.bfloat16), jnp.zeros_like(den, jnp.bfloat16)],
+            axis=2,
+        ).reshape(c, h, 1, 2, n)
+        u_den = jax.lax.bitcast_convert_type(
+            jnp.swapaxes(bf, -2, -1), jnp.uint32
+        )  # (c,h,1,n)
+        return jnp.concatenate([u_num, u_den], axis=2), d
     if pack:
         if d % 2:
             cols = jnp.pad(cols, [(0, 0), (0, 0), (0, 1), (0, 0)])
@@ -167,10 +189,19 @@ def _cols_to_u32(cols: Array, pack: bool) -> tuple[Array, int]:
     return u32, d
 
 
-def _u32_to_cols(rows: Array, d: int, pack: bool, out_bf16: bool = False) -> Array:
+def _u32_to_cols(rows: Array, d: int, pack, out_bf16: bool = False) -> Array:
     """Inverse of `_cols_to_u32`. out_bf16 skips the f32 upcast (the values
     are bf16-rounded under pack anyway): downstream matmuls read half the
     bytes and feed the MXU natively."""
+    if pack == "fp8":
+        u_num, u_den = rows[:, :, :-1], rows[:, :, -1:]
+        f8 = jax.lax.bitcast_convert_type(u_num, jnp.float8_e4m3fn)
+        f8 = jnp.swapaxes(f8, -2, -1)  # (c,h,D8,4,n)
+        num = f8.reshape(*rows.shape[:2], -1, rows.shape[-1])[:, :, :d - 1]
+        den = jax.lax.bitcast_convert_type(u_den, jnp.bfloat16)[..., 0]
+        return jnp.concatenate(
+            [num.astype(jnp.float32), den.astype(jnp.float32)], axis=2
+        )
     if pack:
         bf = jax.lax.bitcast_convert_type(rows, jnp.bfloat16)  # (c,h,D,n,2)
         bf = jnp.swapaxes(bf, -2, -1)  # (c,h,D,2,n)
@@ -295,7 +326,9 @@ def grouped_sort_carry(keys_list, payload_list, pack: bool = False,
         src indices back as keys).
       payload_list: matching list of (c, h, d_i, n) column payloads
         ((h, d_i, n) broadcasts over hashes).
-      pack: move payloads as bf16 pairs (half the traffic, bf16 rounding).
+      pack: False = exact f32; True = bf16 pairs (half the traffic, bf16
+        rounding); "fp8" = e4m3 quads for all but the last column + bf16
+        last column (quarter traffic; the [num|denom] unsort encoding).
       n_ops: payload operands per sort call (keys duplicated 1/n_ops as much;
         compile time grows ~5 s/operand, cached persistently).
     Returns:
@@ -306,7 +339,8 @@ def grouped_sort_carry(keys_list, payload_list, pack: bool = False,
     The custom VJP re-applies the inverse permutations with one backward
     sort call (no scatter-invert, no gathers).
     """
-    key = (bool(pack), len(keys_list), int(n_ops), bool(out_bf16))
+    key = (pack if isinstance(pack, str) else bool(pack),
+           len(keys_list), int(n_ops), bool(out_bf16))
     fn = _grouped_sort_carry_cache.get(key)
     if fn is None:
         fn = _make_grouped_sort_carry(*key)

@@ -519,7 +519,12 @@ def hept_attention_core_xcols(
         denom, so = bucket_rbf_attention_cols_xla(sq, sk, sv, block_size)
 
     od = jnp.concatenate([so, denom], axis=1)  # (rows, dv + 1, ne)
-    # unsort precision: see hept_attention_core_cols
+    # unsort precision: see hept_attention_core_cols. unsort_pack="fp8"
+    # moves the numerator columns as e4m3 quads and the denominator as bf16
+    # (the "last column" of each 25-col group) — incompatible with
+    # fold_unsort's head-interleaved column layout.
+    assert not (fold_unsort and unsort_pack == "fp8"), \
+        "fold_unsort interleaves heads; fp8 unsort needs denom-last groups"
     if share_heads and fold_unsort:
         # all heads share the per-(hash, event) permutation: the unsort rides
         # c·n_ev comparator rows with every head's [num|denom] as payload

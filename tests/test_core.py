@@ -239,6 +239,36 @@ class TestPackedSortCarry:
         )
 
 
+def test_grouped_sort_fp8_pack():
+    """fp8 pack mode: numerator columns transported as exact e4m3 roundings,
+    the last (denominator) column as bf16; permutation identical to f32."""
+    import numpy as np
+
+    from hept_tpu.core.buckets import grouped_sort_carry
+
+    rng = np.random.default_rng(5)
+    c, h, d, n = 2, 3, 25, 128
+    keys = jnp.asarray(rng.random((c, h, n), dtype=np.float32))
+    od = jnp.asarray(np.abs(rng.standard_normal((c, h, d, n))).astype(np.float32))
+
+    (s_f32,), (src_f32,) = grouped_sort_carry([keys], [od], pack=False)
+    (s_fp8,), (src_fp8,) = grouped_sort_carry([keys], [od], pack="fp8")
+    np.testing.assert_array_equal(np.asarray(src_f32), np.asarray(src_fp8))
+    # numerators: exactly the e4m3 rounding of the f32-sorted values
+    ref_num = np.asarray(s_f32[:, :, :-1]).astype(jnp.float8_e4m3fn).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(s_fp8[:, :, :-1]), ref_num)
+    # denominator: bf16 rounding
+    np.testing.assert_allclose(
+        np.asarray(s_fp8[:, :, -1]), np.asarray(s_f32[:, :, -1]),
+        rtol=1e-2, atol=1e-3,
+    )
+    # VJP transports gradients (fp8-rounded) with the right permutation
+    g = jax.grad(
+        lambda o: grouped_sort_carry([keys], [o], pack="fp8")[0][0].sum()
+    )(od)
+    np.testing.assert_allclose(np.asarray(g), 1.0, rtol=0, atol=0)
+
+
 def test_grouped_sort_n_ops_equivalence():
     """Chunked-operand sorts must produce identical results to 1-op sorts."""
     import numpy as np
