@@ -100,6 +100,9 @@ def main():
             # sorted [x|coords] copy instead of num_heads (step 305.8 ->
             # 240.4 ms; convergence-validated: acc@0.9 0.9433 vs 0.9446
             # shared_sort, scripts/validate_share_heads.py)
+            kernel_bf16=True,  # bf16 bucket-kernel operands, f32 accum
+            # (step 240.4 -> 200.8 ms; convergence-validated: acc@0.9
+            # 0.9424 vs 0.9431 f32, scripts/validate_kernel_bf16.py)
         )
         base.update(overrides)
         return TransformerConfig(**base)
