@@ -48,13 +48,15 @@ def timeit(tag, f, *args, iters=10):
 
 
 def run(tag, extra):
-    cfg = TransformerConfig(
+    kw = dict(
         in_dim=ev.x.shape[1], coords_dim=ev.coords.shape[1], task="tracking",
         h_dim=24, num_heads=8, n_layers=4, block_size=100, n_hashes=3,
         num_regions=150, num_w_per_dist=10, padding_mode="replicate",
         attn_impl="hybrid", scan_layers=True, sort_pack=True, sort_ops=8,
-        qkv_post_sort=True, unsort_pack=True, **extra,
+        qkv_post_sort=True, unsort_pack=True,
     )
+    kw.update(extra)
+    cfg = TransformerConfig(**kw)
     model = HeptTransformer(cfg)
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), bt["x"], bt["coords"], bt["valid"])
@@ -101,3 +103,6 @@ if __name__ == "__main__":
     if which == "kb2":  # stacked B=2 at 60k with the full fast stack
         run("share_heads+kernel_bf16 (B=1 ref)",
             {"share_heads": True, "kernel_bf16": True})
+    if which == "fp8":
+        run("share_heads+kbf16+fp8 unsort",
+            {"share_heads": True, "kernel_bf16": True, "unsort_pack": "fp8"})
