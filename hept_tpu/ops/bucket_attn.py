@@ -518,13 +518,20 @@ def hept_attention_core_xcols(
     else:
         denom, so = bucket_rbf_attention_cols_xla(sq, sk, sv, block_size)
 
-    od = jnp.concatenate([so, denom], axis=1)  # (rows, dv + 1, ne)
     # unsort precision: see hept_attention_core_cols. unsort_pack="fp8"
-    # moves the numerator columns as e4m3 quads and the denominator as bf16
-    # (the "last column" of each 25-col group) — incompatible with
+    # moves e4m3 quads + a bf16 last column — but the raw numerators exceed
+    # e4m3's 448 max (e4m3fn has no inf: overflow converts to NaN; measured
+    # loss=nan from step 1, scripts/validate_fp8_unsort.py), so the fp8
+    # transport is RATIO-REPARAMETRIZED: carry [num/den | den] (the per-round
+    # ratio is a convex combination of values, bounded by max|v|) and
+    # reconstruct num = ratio · den after the unsort. Incompatible with
     # fold_unsort's head-interleaved column layout.
     assert not (fold_unsort and unsort_pack == "fp8"), \
         "fold_unsort interleaves heads; fp8 unsort needs denom-last groups"
+    if unsort_pack == "fp8":
+        od = jnp.concatenate([stable_ratio(so, denom), denom], axis=1)
+    else:
+        od = jnp.concatenate([so, denom], axis=1)  # (rows, dv + 1, ne)
     if share_heads and fold_unsort:
         # all heads share the per-(hash, event) permutation: the unsort rides
         # c·n_ev comparator rows with every head's [num|denom] as payload
@@ -557,6 +564,8 @@ def hept_attention_core_xcols(
         )
     # (c, n_ev, h, dv + 1, ne)
     o, logits = od_unsorted[:, :, :, :dv], od_unsorted[:, :, :, dv:]
+    if unsort_pack == "fp8":
+        o = o * logits  # undo the ratio reparametrization: num = ratio * den
     o_sum, l_sum = o.sum(axis=0), logits.sum(axis=0)  # (n_ev, h, ·, ne)
     if hash_axis is not None:
         o_sum = jax.lax.psum(o_sum, hash_axis)
