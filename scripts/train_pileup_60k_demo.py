@@ -24,7 +24,8 @@ cfg = ExperimentConfig(
         block_size=100, n_hashes=3, num_regions=140, num_heads=8,
         h_dim=24, n_layers=4, num_w_per_dist=10, sort_pack=True,
         sort_ops=8, qkv_post_sort=True, scan_layers=True,
-        unsort_pack=True, shared_sort=True,
+        unsort_pack=True, shared_sort=True, share_heads=True,
+        kernel_bf16=True,
     ),
     optimizer_kwargs={"lr": 1e-3},
     lr_scheduler_name="impatient",  # ReduceLROnPlateau (factor .5, patience 20)
