@@ -349,6 +349,71 @@ def grouped_sort_carry(keys_list, payload_list, pack: bool = False,
     return list(outs), list(srcs)
 
 
+def _permute_gather_impl(payload, src, pack, out_bf16):
+    """payload (n_ev, d, ne); src (c, n_ev, ne) -> (c, n_ev, d, ne) with
+    out[r, b, :, s] = payload[b, :, src[r, b, s]]."""
+    u32, d = _cols_to_u32(payload[None], pack)  # (1, n_ev, D, ne)
+    g = jnp.take_along_axis(u32, src[:, :, None, :], axis=3)  # (c, n_ev, D, ne)
+    return _u32_to_cols(g, d, pack, out_bf16)
+
+
+def _make_permute_gather(pack, out_bf16):
+    @jax.custom_vjp
+    def f(payload, src, inv):
+        return _permute_gather_impl(payload, src, pack, out_bf16)
+
+    def fwd(payload, src, inv):
+        return _permute_gather_impl(payload, src, pack, out_bf16), (src, inv)
+
+    def bwd(res, ct):
+        src, inv = res
+        # out[r, b, :, s] = payload[b, :, src[r, b, s]] and src is a
+        # permutation per (r, b) row, so d payload[b, :, i] =
+        # Σ_r ct[r, b, :, inv[r, b, i]] — the transpose of a permutation
+        # gather is the gather by its inverse. Cotangents move with the same
+        # packing as the forward (matches grouped_sort_carry's VJP).
+        u32, d = _cols_to_u32(ct, pack)  # (c, n_ev, D, ne)
+        g = jnp.take_along_axis(u32, inv[:, :, None, :], axis=3)
+        gp = _u32_to_cols(g, d, pack, False).sum(axis=0)
+        return gp, _float0_zero(src), _float0_zero(inv)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+_permute_gather_cache: dict = {}
+
+
+def permute_gather(payload: Array, src: Array, inv: Array,
+                   pack: bool = False, out_bf16: bool = False) -> Array:
+    """Apply KNOWN per-round permutations to a column payload via XLA
+    gathers — no lax.sort call.
+
+    Args:
+      payload: (n_ev, d, ne) column payload (one row per sort-batch event).
+      src: (c, n_ev, ne) int32 — source slot of each sorted position (the
+        `src` a `grouped_sort_carry` forward returns).
+      inv: (c, n_ev, ne) int32 — argsort(src) per row (inverse permutation),
+        used by the custom VJP to gather cotangents back.
+      pack: move columns as bf16 pairs in u32 (half the gathered rows; the
+        same rounding as the sort-carry's pack).
+    Returns: (c, n_ev, d, ne) — payload[b, :, src[r, b, s]] at [r, b, :, s].
+
+    Why this exists (scripts/probe_gather_r3.py): a minor-axis
+    take_along_axis costs ~0.03 ms per moved column-row with NO per-call
+    floor, while every lax.sort call pays a ~5 ms floor + comparator. For
+    the per-layer x-reorder under static bucket keys (<=15 packed rows per
+    round) the gather wins ~4x both directions; big payloads (the 600
+    column-row [num|denom] unsort) still favor the sort.
+    """
+    key = (pack if isinstance(pack, str) else bool(pack), bool(out_bf16))
+    fn = _permute_gather_cache.get(key)
+    if fn is None:
+        fn = _make_permute_gather(*key)
+        _permute_gather_cache[key] = fn
+    return fn(payload, src, inv)
+
+
 def _sort_carry_impl(keys, payload, pack):
     c, h, n = keys.shape
     if payload.ndim == 3:

@@ -102,7 +102,7 @@ class HeptAttention(nn.Module):
 
     @nn.compact
     def __call__(self, query, key, value, *, coords, codes, w_rpe_weight,
-                 invalid=None, wq=None, wk=None, wv=None, **_):
+                 invalid=None, wq=None, wk=None, wv=None, plan=None, **_):
         """Args:
           query/key/value: (n, num_heads * h_dim) projections; under
             post_sort, `query` is the (n, h_dim) normed hidden state and
@@ -134,7 +134,7 @@ class HeptAttention(nn.Module):
             out = hept_attention_core_xcols(
                 query.T,  # (d_model, n) shared normed hidden
                 coords.T,
-                wq, wk, wv, sqrt_w, alpha, codes, invalid,
+                wq, wk, wv, sqrt_w, alpha, codes, invalid, plan,
                 block_size=self.block_size,
                 impl=self.impl,
                 sort_pack=self.sort_pack,

@@ -20,9 +20,11 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..core.buckets import bit_shift
+from ..core.hashing import e2lsh_init
 from ..core.padding import replication_pad_plan
 from ..core.regions import geo_code, get_regions, region_codes
 from .attention.hept import HeptAttention
@@ -79,6 +81,15 @@ class TransformerConfig:
     # call (fewer comparator rows, many sort operands — TPU-compile-heavy;
     # see ops/bucket_attn.py).
     fold_unsort: bool = False
+    # TPU fast mode (requires share_heads): LAYER-INVARIANT bucket keys.
+    # Hash once per step — True/"x0" hashes the standardized encoder output
+    # + scaled coords, "coords" hashes scaled coords alone — and reuse the
+    # per-round permutations in every layer: the per-layer [x|coords] sorts
+    # become packed gathers (~4x cheaper each way, no lax.sort call floor;
+    # ops/bucket_attn.py static_bucket_plan). Diverges from the reference's
+    # per-layer re-hash of evolved features (hept.py:93-104); convergence-
+    # gated like shared_sort/share_heads (PARITY.md divergences).
+    static_keys: Any = False  # False | True | "x0" | "coords"
     # Stacked flat batching (requires qkv_post_sort): the flat point axis
     # holds this many equal-size events, each bucket-sorted as its own batch
     # row — linear in B, no batch-index AND codes (ops/bucket_attn.py
@@ -264,7 +275,7 @@ class AttnBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, coords, codes, invalid, valid, edges, edge_mask,
-                 deterministic: bool):
+                 deterministic: bool, plan=None):
         cfg = self.cfg
         h, d = cfg.num_heads, cfg.h_dim
 
@@ -328,6 +339,7 @@ class AttnBlock(nn.Module):
                 w_rpe_weight=w_rpe,
                 invalid=invalid,
                 valid=valid,
+                plan=plan,
                 wq=heads(KernelOnly(d * h, name="w_q")(d)),
                 wk=heads(KernelOnly(d * h, name="w_k")(d)),
                 wv=heads(KernelOnly(d * h, name="w_v")(d)),
@@ -360,13 +372,15 @@ class _ScanBody(nn.Module):
     deterministic: bool
 
     @nn.compact
-    def __call__(self, h, coords, codes, invalid, valid, edges, edge_mask):
+    def __call__(self, h, coords, codes, invalid, valid, edges, edge_mask,
+                 plan):
         block_cls = AttnBlock
         if self.cfg.use_ckpt:
             block_cls = nn.remat(AttnBlock, static_argnums=())
         out = block_cls(self.cfg, name="block")(
             h, coords=coords, codes=codes, invalid=invalid, valid=valid,
             edges=edges, edge_mask=edge_mask, deterministic=self.deterministic,
+            plan=plan,
         )
         return out, out
 
@@ -448,19 +462,47 @@ class HeptTransformer(nn.Module):
         h = nn.relu(h)
         h = TorchLinear(cfg.h_dim, name="feat_enc_1")(h)
 
+        plan = None
+        if cfg.attn_type == "hept" and cfg.static_keys:
+            # static_keys fast mode: hash ONCE per step (encoder output or
+            # coords only) and let every layer reuse the permutations —
+            # the per-layer [x|coords] sorts become packed gathers
+            # (ops/bucket_attn.py static_bucket_plan; convergence-gated
+            # divergence, PARITY.md). Requires share_heads.
+            assert cfg.share_heads and cfg.qkv_post_sort, \
+                "static_keys requires share_heads + qkv_post_sort"
+            from ..ops.bucket_attn import static_bucket_plan, static_hash
+
+            alpha_s = self.variable(
+                "constants",
+                "static_alpha",
+                lambda: e2lsh_init(
+                    self.make_rng("params"), 1,
+                    cfg.h_dim + cfg.coords_dim, cfg.n_hashes,
+                ),
+            ).value
+            variant = ("coords" if cfg.static_keys == "coords" else "x0")
+            scale = float(np.sqrt(2.0 * cfg.num_w_per_dist))
+            hashed = static_hash(h.T, coords.T, alpha_s, scale, variant)
+            plan = static_bucket_plan(
+                hashed, codes[:, 0], invalid, coords.T,
+                sort_events=cfg.sort_events, sort_pack=cfg.sort_pack,
+                sort_ops=cfg.sort_ops,
+            )
+
         if cfg.scan_layers and cfg.attn_type != "flatformer":
             # one traced/compiled layer body; params stacked on axis 0
             scan_cls = nn.scan(
                 _ScanBody,
                 variable_axes={"params": 0, "constants": 0},
                 split_rngs={"params": True, "dropout": True},
-                in_axes=(nn.broadcast,) * 6,  # coords..edge_mask
+                in_axes=(nn.broadcast,) * 7,  # coords..edge_mask, plan
                 out_axes=0,
                 length=cfg.n_layers,
             )
             h0 = h
             h, ys = scan_cls(cfg, deterministic, name="blocks")(
-                h, coords, codes, invalid, valid, edges, edge_mask
+                h, coords, codes, invalid, valid, edges, edge_mask, plan
             )
             n = h.shape[0]
             # (n_layers, N, d) -> per-point [layer0 | layer1 | ...] columns,
@@ -481,6 +523,7 @@ class HeptTransformer(nn.Module):
                 out = block_cls(cfg, name=f"block_{i}")(
                     h, coords=coords, codes=codes, invalid=invalid, valid=valid,
                     edges=edges, edge_mask=edge_mask, deterministic=deterministic,
+                    plan=plan,
                 )
                 if cfg.attn_type == "flatformer":
                     # concat all 4 inner-layer outputs (transformer.py:134-136;

@@ -20,7 +20,12 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from ..core.buckets import grouped_sort_carry, sort_carry, unsort_carry
+from ..core.buckets import (
+    grouped_sort_carry,
+    permute_gather,
+    sort_carry,
+    unsort_carry,
+)
 from ..core.hashing import lsh_mapping
 
 DENOM_EPS = 1e-20  # reference hept.py:29 / example/hept.py:14
@@ -296,6 +301,97 @@ def hept_attention_core_cols(
     return stable_ratio(o_sum, l_sum)
 
 
+def static_hash(x0_cols: Array, coords_cols: Array, alpha: Array,
+                scale: float, variant: str) -> Array:
+    """Layer-invariant bucket hashes for the `static_keys` fast mode.
+
+    Hash ONCE per step in [x0|coords] space (x0 = encoder output), reused by
+    every layer — vs the reference's per-layer re-hash of that layer's q/k
+    projections (src/models/attention/hept.py:93-104). Divergence of the
+    same family as shared_sort/share_heads; convergence-gated
+    (scripts/validate_static_keys.py, PARITY.md divergences).
+
+    Args:
+      x0_cols: (d_model, n) encoder-output columns.
+      coords_cols: (cd, n).
+      alpha: (1, d_model + cd, c) E2LSH directions.
+      scale: coords-part weight (the init-time RPE scale
+        sqrt(2 * num_w_per_dist); per-layer learned scales are unavailable
+        outside the layers by construction).
+      variant: "x0" hashes standardized x0 + scaled coords; "coords" hashes
+        the scaled coords alone (pure geometric bucketing).
+    Returns: (c, n) raw hash values (stop-gradded).
+    """
+    d_model = x0_cols.shape[0]
+    a1, a2 = alpha[0, :d_model, :], alpha[0, d_model:, :]
+    hashed = jnp.einsum("rc,rn->cn", scale * a2, coords_cols)
+    if variant == "x0":
+        mu = x0_cols.mean(axis=0, keepdims=True)
+        sd = jnp.sqrt(
+            ((x0_cols - mu) ** 2).mean(axis=0, keepdims=True) + 1e-6
+        )
+        hashed = hashed + jnp.einsum("ec,en->cn", a1, (x0_cols - mu) / sd)
+    return jax.lax.stop_gradient(hashed)
+
+
+@partial(jax.jit, static_argnames=("sort_events", "sort_pack", "sort_ops"))
+def static_bucket_plan(
+    hashed: Array,
+    codes0: Array,
+    invalid: Array | None,
+    coords_cols: Array,
+    *,
+    sort_events: int = 1,
+    sort_pack: bool = False,
+    sort_ops: int = 1,
+):
+    """Build the once-per-step bucket plan for `static_keys`.
+
+    One sort call produces the per-round permutations `src` AND the sorted
+    coords payload (layer-invariant: coords never change across layers); one
+    more 1-operand sort inverts them. Every layer then reorders only its
+    x-columns with `permute_gather` (~1.4 ms vs the ~6 ms sort) and reuses
+    the sorted coords for the RPE columns.
+
+    Args:
+      hashed: (c, n) raw hash values (`static_hash`).
+      codes0: (n,) or (c, n) AND codes (head 0 under share_heads).
+      invalid: optional (n,) bool — rows pushed to trailing buckets.
+      coords_cols: (cd, n).
+    Returns:
+      (src, inv, scoords): (c, n_ev, ne) i32 forward/inverse permutations
+      and (c, n_ev, cd, ne) sorted coords (bf16 under sort_pack).
+    """
+    c, n = hashed.shape
+    cd = coords_cols.shape[0]
+    n_ev = sort_events
+    ne = n // n_ev
+    hash_shift = hashed.max(axis=1, keepdims=True) - hashed.min(
+        axis=1, keepdims=True
+    )
+    codes_s = jax.lax.stop_gradient(codes0).astype(jnp.float32)
+    if codes_s.ndim == 1:
+        codes_s = codes_s[None]
+    key = hashed + codes_s * hash_shift  # (c, n)
+    if invalid is not None:
+        key = jnp.where(invalid[None, :], jnp.asarray(3.0e38, jnp.float32), key)
+    coords_rows = jnp.moveaxis(
+        jax.lax.stop_gradient(coords_cols).reshape(cd, n_ev, ne), 1, 0
+    )  # (n_ev, cd, ne)
+    (scoords,), (src,) = grouped_sort_carry(
+        [key.reshape(c, n_ev, ne)], [coords_rows],
+        pack=sort_pack, n_ops=sort_ops, out_bf16=sort_pack,
+    )  # scoords (c, n_ev, cd, ne); src (c, n_ev, ne)
+    iota = jnp.broadcast_to(
+        jnp.arange(ne, dtype=jnp.uint32), (c * n_ev, ne)
+    )
+    _, inv = jax.lax.sort(
+        [src.reshape(c * n_ev, ne).astype(jnp.uint32), iota],
+        dimension=-1, num_keys=1, is_stable=False,
+    )
+    return src, inv.reshape(c, n_ev, ne).astype(jnp.int32), scoords
+
+
 @partial(jax.jit, static_argnames=("block_size", "impl", "sort_pack",
                                    "sort_ops", "unsort_pack", "hash_axis",
                                    "shared_sort", "share_heads",
@@ -311,6 +407,7 @@ def hept_attention_core_xcols(
     alpha: Array,
     codes: Array,
     invalid: Array | None = None,
+    plan=None,
     *,
     block_size: int,
     impl: str = "xla",
@@ -356,6 +453,12 @@ def hept_attention_core_xcols(
         (hept.py:93-104, per-head alpha); convergence-validated like
         shared_sort (PARITY.md divergences). Implies shared_sort (q and k
         share the single key set).
+      plan: optional (src, inv, scoords) from `static_bucket_plan` — the
+        `static_keys` fast mode (requires share_heads). Keys were hashed
+        ONCE per step outside the layers; this call skips the key
+        computation and replaces the [x|coords] sort with a packed
+        `permute_gather` of the x columns only (coords arrive pre-sorted in
+        the plan), ~4x cheaper each direction (probe_gather_r3.py).
       sort_events: stacked flat batching — the flat n axis holds B events of
         n/B points each, and every event rides the sort's BATCH axis as its
         own comparator row(s) instead of one concatenated row. lax.sort's
@@ -388,7 +491,19 @@ def hept_attention_core_xcols(
     # under sort_pack the sorted activations stay bf16 (they are bf16-rounded
     # by the pack anyway): the projection matmuls read half the bytes and the
     # MXU consumes bf16 natively (weights cast to bf16 for those matmuls)
-    if share_heads:
+    if plan is not None:
+        # static_keys: permutations precomputed once per step; reorder the
+        # x columns by gather, reuse the plan's pre-sorted coords.
+        assert share_heads, "static_keys plan requires share_heads"
+        src, inv_perm, scoords = plan
+        x_rows = jnp.moveaxis(x_cols.reshape(d_model, n_ev, ne), 1, 0)
+        sxs = permute_gather(
+            x_rows, src, inv_perm, pack=sort_pack, out_bf16=sort_pack
+        )  # (c, n_ev, d_model, ne)
+        scs = scoords  # pre-sorted coords (bf16 under sort_pack)
+        q_src = src
+        sxk = sxq = None
+    elif share_heads:
         # one hash per OR round in [x|coords] space, shared across heads
         a1, a2 = alpha[0, :d_model, :], alpha[0, d_model:, :]
         gamma = sqrt_w.mean(axis=0)[:, None] * a2  # (cd, c)
@@ -473,8 +588,11 @@ def hept_attention_core_xcols(
     ptype = jnp.bfloat16 if kernel_bf16 else jnp.float32
     if share_heads:
         # sorted rows are per (hash, event) and shared by all heads
-        def project(sx, w):  # sx (c, n_ev, d_xc, ne)
-            xs, cs = sx[:, :, :d_model], sx[:, :, d_model:]
+        if plan is None:
+            sxs = sxk[:, :, :d_model]  # (c, n_ev, d_model, ne)
+            scs = sxk[:, :, d_model:]  # (c, n_ev, cd, ne)
+
+        def project(xs, cs, w):
             proj = jnp.einsum(
                 "hed,cben->cbhdn", w.astype(xs.dtype), xs,
                 preferred_element_type=ptype,
@@ -483,11 +601,10 @@ def hept_attention_core_xcols(
                    * cs[:, :, None].astype(jnp.float32)).astype(ptype)
             return jnp.concatenate([proj, rpe], axis=3)
 
-        sq = project(sxq, wq).reshape(c * n_ev * h, d + cd, ne)
-        sk = project(sxk, wk).reshape(c * n_ev * h, d + cd, ne)
-        sxk_x = sxk[:, :, :d_model]
+        sq = project(sxs, scs, wq).reshape(c * n_ev * h, d + cd, ne)
+        sk = project(sxs, scs, wk).reshape(c * n_ev * h, d + cd, ne)
         sv = jnp.einsum(
-            "hed,cben->cbhdn", wv.astype(sxk_x.dtype), sxk_x,
+            "hed,cben->cbhdn", wv.astype(sxs.dtype), sxs,
             preferred_element_type=ptype,
         ).reshape(c * n_ev * h, dv, ne)
     else:
