@@ -24,6 +24,8 @@ cost analysis, so utilization is trackable.
 from __future__ import annotations
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -37,6 +39,7 @@ N_POINTS = 60_000
 WARMUP = 3
 ITERS = 15
 BATCH_SIZES = (1, 2)
+PARITY_BUDGET_S = 1200  # cold-cache parity compile bound (cached afterwards)
 
 
 def main():
@@ -103,9 +106,16 @@ def main():
             kernel_bf16=True,  # bf16 bucket-kernel operands, f32 accum
             # (step 240.4 -> 200.8 ms; convergence-validated: acc@0.9
             # 0.9424 vs 0.9431 f32, scripts/validate_kernel_bf16.py)
+            static_keys="x0",  # layer-invariant bucket hashes: hash the
+            # encoder output once per step, reuse the permutations across
+            # all layers; per-layer x-reorders become packed gathers
+            # (step 200.0 -> 187.2 ms; convergence-validated: acc@0.9
+            # 0.9427 vs 0.9434 base, scripts/validate_static_keys.py)
         )
         base.update(overrides)
         return TransformerConfig(**base)
+
+    parity_only = "--parity-only" in sys.argv
 
     cfg = make_cfg()
     model = HeptTransformer(cfg)
@@ -173,6 +183,38 @@ def main():
         return train_step
 
     bt1 = pack(1)
+
+    if parity_only:
+        # Reference-parity-mode step (no fast-mode divergences: per-head
+        # hashing, independent q/k bucket sorts, f32 sort/unsort transport,
+        # f32 kernels, per-layer keys). Run as a child process (see below)
+        # because its f32 unpacked variadic sorts compile for a long time on
+        # a cold cache; the parent bounds it with a timeout so the headline
+        # JSON always lands.
+        pmodel = HeptTransformer(make_cfg(
+            sort_pack=False, sort_ops=1, unsort_pack=False, shared_sort=False,
+            share_heads=False, kernel_bf16=False, static_keys=False,
+        ))
+        _stamp("parity-mode compile")
+        pvars = jax.jit(pmodel.init)(
+            jax.random.PRNGKey(0), bt1["x"][0], bt1["coords"][0], bt1["valid"][0]
+        )
+        jax.block_until_ready(pvars)
+        pstate = TrainState.create(pvars, tx, jax.random.PRNGKey(1))
+        pstep = make_step(1, mdl=pmodel)
+        ps, pl = pstep(pstate, bt1)
+        float(pl)
+        for _ in range(WARMUP - 1):
+            ps, pl = pstep(ps, bt1)
+        float(pl)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            ps, pl = pstep(ps, bt1)
+        float(pl)
+        parity_ms = (time.perf_counter() - t0) / ITERS * 1e3
+        print(f"PARITY_MS {parity_ms:.2f}", flush=True)
+        return
+
     _stamp("init model")
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), bt1["x"][0], bt1["coords"][0], bt1["valid"][0]
@@ -243,30 +285,26 @@ def main():
     # Reference-parity-mode step (no fast-mode divergences: per-head hashing,
     # independent q/k bucket sorts, f32 sort/unsort transport), reported
     # alongside the fast number so round-over-round progress can't silently
-    # ride the validated divergences (VERDICT r2 #9).
+    # ride the validated divergences (VERDICT r2 #9). Runs in a child process
+    # with a hard timeout: its cold-cache compile can exceed the whole bench
+    # budget, and the headline JSON must always land.
     parity_ms = None
     try:
-        pmodel = HeptTransformer(make_cfg(
-            sort_pack=False, sort_ops=1, unsort_pack=False, shared_sort=False,
-        ))
-        _stamp("parity-mode compile")
-        pvars = jax.jit(pmodel.init)(
-            jax.random.PRNGKey(0), bt1["x"][0], bt1["coords"][0], bt1["valid"][0]
+        _stamp("parity mode (subprocess)")
+        proc = subprocess.run(
+            [sys.executable, __file__, "--parity-only"],
+            capture_output=True, text=True, timeout=PARITY_BUDGET_S,
         )
-        jax.block_until_ready(pvars)
-        pstate = TrainState.create(pvars, tx, jax.random.PRNGKey(1))
-        pstep = make_step(1, mdl=pmodel)
-        ps, pl = pstep(pstate, bt1)
-        float(pl)
-        for _ in range(WARMUP - 1):
-            ps, pl = pstep(ps, bt1)
-        float(pl)
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            ps, pl = pstep(ps, bt1)
-        float(pl)
-        parity_ms = (time.perf_counter() - t0) / ITERS * 1e3
-        _stamp(f"parity mode: {parity_ms:.1f} ms/step")
+        for line in proc.stdout.splitlines():
+            if line.startswith("PARITY_MS "):
+                parity_ms = float(line.split()[1])
+        if parity_ms is None:
+            _stamp(f"parity mode produced no number (rc={proc.returncode}); "
+                   "omitting")
+        else:
+            _stamp(f"parity mode: {parity_ms:.1f} ms/step")
+    except subprocess.TimeoutExpired:
+        _stamp(f"parity mode exceeded {PARITY_BUDGET_S}s budget; omitting")
     except Exception as e:
         _stamp(f"parity mode failed ({type(e).__name__}); omitting")
 
