@@ -99,6 +99,10 @@ class HeptAttention(nn.Module):
     # Feed the bucket kernels bf16 operands (MXU-native one-pass dots, half
     # the kernel HBM bytes; f32 accumulation). See hept_attention_core_xcols.
     kernel_bf16: bool = False
+    # Canonical-residual mode: inputs/outputs ride in round-0 sorted order
+    # and `plan` is the 5-tuple from static_bucket_plan(canonical=True).
+    # See hept_attention_core_xcols.
+    canon: bool = False
 
     @nn.compact
     def __call__(self, query, key, value, *, coords, codes, w_rpe_weight,
@@ -146,6 +150,7 @@ class HeptAttention(nn.Module):
                 fold_unsort=self.fold_unsort,
                 sort_events=self.sort_events,
                 kernel_bf16=self.kernel_bf16,
+                canon=self.canon,
             )  # (h, d, n)
             out = out.reshape(h * d, n).T
             if self.head_axis is not None:

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..core.buckets import bit_shift
+from ..core.buckets import bit_shift, permute_gather
 from ..core.hashing import e2lsh_init
 from ..core.padding import replication_pad_plan
 from ..core.regions import geo_code, get_regions, region_codes
@@ -90,6 +90,16 @@ class TransformerConfig:
     # per-layer re-hash of evolved features (hept.py:93-104); convergence-
     # gated like shared_sort/share_heads (PARITY.md divergences).
     static_keys: Any = False  # False | True | "x0" | "coords"
+    # TPU fast mode (requires static_keys): keep the residual stream in
+    # round-0's sorted order — the CANONICAL order — for the whole layer
+    # stack. Round 0 then needs no per-layer x-gather and no output unsort
+    # (rounds 1.. use composed permutations precomputed in the plan), cutting
+    # the unsort wall by 1/n_hashes in both directions. A pure storage
+    # reordering of static_keys: same buckets, same math (LayerNorm/FF/head
+    # are row-local) — bitwise-equal outputs after reordering with packing
+    # off; NOT a new convergence-gated divergence. One gather into canonical
+    # order after the encoder, one gather back after the head.
+    canon_residual: bool = False
     # Stacked flat batching (requires qkv_post_sort): the flat point axis
     # holds this many equal-size events, each bucket-sorted as its own batch
     # row — linear in B, no batch-index AND codes (ops/bucket_attn.py
@@ -127,6 +137,20 @@ class TransformerConfig:
     # Intra-event hash parallelism: mesh axis the OR-hash rounds shard over
     # (set by the TP train step on the LOCAL config; parallel/tp.py).
     hash_axis: Optional[str] = None
+
+
+def _permute_rows(arr, src1, inv1, n_ev):
+    """Apply a per-event row permutation to a row-major (n, d) array via the
+    differentiable `permute_gather` (canonical-residual entry/exit: ~d·0.04 ms
+    vs a ~5 ms lax.sort floor).
+
+    src1/inv1: (1, n_ev, ne) forward/inverse maps; out[j] = arr[src1[j]]
+    within each event row."""
+    n, d = arr.shape
+    ne = n // n_ev
+    rows = jnp.moveaxis(arr.T.reshape(d, n_ev, ne), 1, 0)  # (n_ev, d, ne)
+    g = permute_gather(rows, src1, inv1)  # (1, n_ev, d, ne)
+    return jnp.moveaxis(g[0], 0, 1).reshape(d, n).T
 
 
 class PELearned(nn.Module):
@@ -194,6 +218,7 @@ def _make_attention(cfg: TransformerConfig):
             fold_unsort=cfg.fold_unsort,
             sort_events=cfg.sort_events,
             kernel_bf16=cfg.kernel_bf16,
+            canon=cfg.canon_residual,
             **common,
         )
     if cfg.attn_type == "performer":
@@ -487,8 +512,19 @@ class HeptTransformer(nn.Module):
             plan = static_bucket_plan(
                 hashed, codes[:, 0], invalid, coords.T,
                 sort_events=cfg.sort_events, sort_pack=cfg.sort_pack,
-                sort_ops=cfg.sort_ops,
+                sort_ops=cfg.sort_ops, canonical=cfg.canon_residual,
             )
+            if cfg.canon_residual:
+                # enter canonical (round-0 sorted) order: the residual
+                # stream, pad mask — and everything row-local after — ride
+                # in this order; one gather back after the head.
+                src0, inv0 = plan[0][:1], plan[1][:1]
+                h = _permute_rows(h, src0, inv0, cfg.sort_events)
+                invalid = jnp.take_along_axis(
+                    invalid.reshape(cfg.sort_events, -1), plan[0][0], axis=1
+                ).reshape(-1)
+        elif cfg.canon_residual:
+            raise ValueError("canon_residual requires static_keys")
 
         if cfg.scan_layers and cfg.attn_type != "flatformer":
             # one traced/compiled layer body; params stacked on axis 0
@@ -542,6 +578,11 @@ class HeptTransformer(nn.Module):
         if cfg.task == "pileup":
             out = TorchLinear(cfg.num_classes, name="out_proj")(out)
             out = nn.sigmoid(out)
+
+        if cfg.canon_residual and plan is not None:
+            # leave canonical order: orig[i] = canon[inv0[i]]
+            src0, inv0 = plan[0][:1], plan[1][:1]
+            out = _permute_rows(out, inv0, src0, cfg.sort_events)
 
         # Real rows occupy their original slots in both padding modes
         # (replication pads only fill slots >= n_valid), so the caller's

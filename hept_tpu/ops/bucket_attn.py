@@ -334,7 +334,8 @@ def static_hash(x0_cols: Array, coords_cols: Array, alpha: Array,
     return jax.lax.stop_gradient(hashed)
 
 
-@partial(jax.jit, static_argnames=("sort_events", "sort_pack", "sort_ops"))
+@partial(jax.jit, static_argnames=("sort_events", "sort_pack", "sort_ops",
+                                   "canonical"))
 def static_bucket_plan(
     hashed: Array,
     codes0: Array,
@@ -344,6 +345,7 @@ def static_bucket_plan(
     sort_events: int = 1,
     sort_pack: bool = False,
     sort_ops: int = 1,
+    canonical: bool = False,
 ):
     """Build the once-per-step bucket plan for `static_keys`.
 
@@ -358,9 +360,16 @@ def static_bucket_plan(
       codes0: (n,) or (c, n) AND codes (head 0 under share_heads).
       invalid: optional (n,) bool — rows pushed to trailing buckets.
       coords_cols: (cd, n).
+      canonical: also compose every round's permutation with round 0's
+        inverse, for the `canon_residual` fast mode where the residual
+        stream itself rides in round-0 sorted order (the canonical order):
+        f[r] = inv₀∘src_r maps a round-r sorted slot to its canonical
+        position (f[0] = identity) and finv[r] = inv_r∘src₀ is its inverse.
+        Round 0 then needs no per-layer x-gather and no output unsort.
     Returns:
       (src, inv, scoords): (c, n_ev, ne) i32 forward/inverse permutations
-      and (c, n_ev, cd, ne) sorted coords (bf16 under sort_pack).
+      and (c, n_ev, cd, ne) sorted coords (bf16 under sort_pack); with
+      canonical=True a 5-tuple (src, inv, scoords, f, finv).
     """
     c, n = hashed.shape
     cd = coords_cols.shape[0]
@@ -389,14 +398,21 @@ def static_bucket_plan(
         [src.reshape(c * n_ev, ne).astype(jnp.uint32), iota],
         dimension=-1, num_keys=1, is_stable=False,
     )
-    return src, inv.reshape(c, n_ev, ne).astype(jnp.int32), scoords
+    inv = inv.reshape(c, n_ev, ne).astype(jnp.int32)
+    if not canonical:
+        return src, inv, scoords
+    # composed maps relative to the canonical (round-0) order:
+    # f[r, b, s] = inv[0, b, src[r, b, s]]; finv[r, b, j] = inv[r, b, src[0, b, j]]
+    f = jnp.take_along_axis(jnp.broadcast_to(inv[:1], src.shape), src, axis=2)
+    finv = jnp.take_along_axis(inv, jnp.broadcast_to(src[:1], inv.shape), axis=2)
+    return src, inv, scoords, f, finv
 
 
 @partial(jax.jit, static_argnames=("block_size", "impl", "sort_pack",
                                    "sort_ops", "unsort_pack", "hash_axis",
                                    "shared_sort", "share_heads",
                                    "fold_unsort", "sort_events",
-                                   "kernel_bf16"))
+                                   "kernel_bf16", "canon"))
 def hept_attention_core_xcols(
     x_cols: Array,
     coords_cols: Array,
@@ -420,6 +436,7 @@ def hept_attention_core_xcols(
     fold_unsort: bool = False,
     sort_events: int = 1,
     kernel_bf16: bool = False,
+    canon: bool = False,
 ) -> Array:
     """Post-sort-projection HEPT pipeline: sort the SHARED pre-projection
     activations instead of per-head q̂/k̂/v.
@@ -467,7 +484,17 @@ def hept_attention_core_xcols(
         stacking keeps flat batching linear in B. Buckets never cross events
         by construction (separate sort rows), so no batch-index AND codes
         are needed. n must be a multiple of sort_events · block_size.
-    Returns: (h, dv, n) attention output columns.
+      canon: canonical-residual fast mode (requires a 5-tuple `plan` from
+        `static_bucket_plan(canonical=True)`): `x_cols` arrive — and the
+        output returns — in round-0's sorted order (the canonical order the
+        model keeps its residual stream in). Round 0 needs no x-gather and
+        no output unsort; rounds 1.. use the plan's composed permutations.
+        A pure storage reordering of the static_keys math: same buckets,
+        same per-bucket sums, bitwise-equal output after reordering when
+        packing is off (round 0 additionally skips the bf16 unsort rounding
+        when unsort_pack is on — strictly less rounding).
+    Returns: (h, dv, n) attention output columns (canonical order under
+    `canon`).
     """
     h, d_model, d = wq.shape
     cd = coords_cols.shape[0]
@@ -491,11 +518,30 @@ def hept_attention_core_xcols(
     # under sort_pack the sorted activations stay bf16 (they are bf16-rounded
     # by the pack anyway): the projection matmuls read half the bytes and the
     # MXU consumes bf16 natively (weights cast to bf16 for those matmuls)
-    if plan is not None:
+    fmap = finv = None
+    if plan is not None and canon:
+        # canonical-residual: x arrives in round-0 sorted order; rounds 1..
+        # gather by the composed canonical→round-r maps, round 0 is free.
+        assert share_heads, "static_keys plan requires share_heads"
+        src, inv_perm, scoords, fmap, finv = plan
+        x_rows = jnp.moveaxis(x_cols.reshape(d_model, n_ev, ne), 1, 0)
+        x0 = x_rows.astype(jnp.bfloat16) if sort_pack else x_rows
+        if c > 1:
+            sx_rest = permute_gather(
+                x_rows, fmap[1:], finv[1:], pack=sort_pack, out_bf16=sort_pack
+            )  # (c-1, n_ev, d_model, ne)
+            sxs = jnp.concatenate([x0[None].astype(sx_rest.dtype), sx_rest],
+                                  axis=0)
+        else:
+            sxs = x0[None]
+        scs = scoords  # pre-sorted coords (bf16 under sort_pack)
+        q_src = None
+        sxk = sxq = None
+    elif plan is not None:
         # static_keys: permutations precomputed once per step; reorder the
         # x columns by gather, reuse the plan's pre-sorted coords.
         assert share_heads, "static_keys plan requires share_heads"
-        src, inv_perm, scoords = plan
+        src, inv_perm, scoords = plan[:3]
         x_rows = jnp.moveaxis(x_cols.reshape(d_model, n_ev, ne), 1, 0)
         sxs = permute_gather(
             x_rows, src, inv_perm, pack=sort_pack, out_bf16=sort_pack
@@ -649,7 +695,35 @@ def hept_attention_core_xcols(
         od = jnp.concatenate([stable_ratio(so, denom), denom], axis=1)
     else:
         od = jnp.concatenate([so, denom], axis=1)  # (rows, dv + 1, ne)
-    if share_heads and fold_unsort:
+    if canon:
+        # canonical-residual: round 0's output is already in the canonical
+        # order — only rounds 1.. ride the unsort (keyed by the composed
+        # canonical-position maps), cutting the unsort's comparator rows and
+        # payload by 1/c in both directions. Round 0 also skips the
+        # unsort_pack bf16 rounding (strictly less rounding than the
+        # static_keys path).
+        od5 = od.reshape(c, n_ev, h, dv + 1, ne)
+        if c == 1:
+            od_unsorted = od5
+        elif fold_unsort:
+            od_f = od5[1:].reshape(c - 1, n_ev, h * (dv + 1), ne)
+            (odu,), _ = grouped_sort_carry([fmap[1:]], [od_f],
+                                           pack=unsort_pack, n_ops=sort_ops)
+            od_unsorted = jnp.concatenate(
+                [od5[:1], odu.reshape(c - 1, n_ev, h, dv + 1, ne)], axis=0
+            )
+        else:
+            f_b = jnp.broadcast_to(
+                fmap[1:, :, None], (c - 1, n_ev, h, ne)
+            ).reshape(c - 1, n_ev * h, ne)
+            (odu,), _ = grouped_sort_carry(
+                [f_b], [od5[1:].reshape(c - 1, n_ev * h, dv + 1, ne)],
+                pack=unsort_pack, n_ops=sort_ops,
+            )
+            od_unsorted = jnp.concatenate(
+                [od5[:1], odu.reshape(c - 1, n_ev, h, dv + 1, ne)], axis=0
+            )
+    elif share_heads and fold_unsort:
         # all heads share the per-(hash, event) permutation: the unsort rides
         # c·n_ev comparator rows with every head's [num|denom] as payload
         # columns. CAVEAT: one lax.sort operand per packed column pair =>
