@@ -111,6 +111,11 @@ def main():
             # all layers; per-layer x-reorders become packed gathers
             # (step 200.0 -> 187.2 ms; convergence-validated: acc@0.9
             # 0.9427 vs 0.9434 base, scripts/validate_static_keys.py)
+            canon_residual=True,  # residual stream rides round-0 sorted
+            # order: round 0 skips its x-gather and output unsort (step
+            # 186.7 -> 168.8 ms). Pure storage reordering, exactly equal
+            # to static_keys with packing off (tests/test_canon_residual) —
+            # NOT a new convergence divergence.
         )
         base.update(overrides)
         return TransformerConfig(**base)
@@ -194,6 +199,7 @@ def main():
         pmodel = HeptTransformer(make_cfg(
             sort_pack=False, sort_ops=1, unsort_pack=False, shared_sort=False,
             share_heads=False, kernel_bf16=False, static_keys=False,
+            canon_residual=False,
         ))
         _stamp("parity-mode compile")
         pvars = jax.jit(pmodel.init)(

@@ -212,6 +212,10 @@ def _u32_to_cols(rows: Array, d: int, pack, out_bf16: bool = False) -> Array:
     return jax.lax.bitcast_convert_type(rows, jnp.float32)
 
 
+# Max payload operands per variadic lax.sort call (see chunking note below).
+_MAX_SORT_OPS = 20
+
+
 def _grouped_sort_impl(keys_list, payload_list, pack, n_ops=1,
                        out_bf16=False):
     """Sort several column-payload groups, each by its own keys, with
@@ -245,7 +249,15 @@ def _grouped_sort_impl(keys_list, payload_list, pack, n_ops=1,
         )
         prepped.append([keys.reshape(c * h, n), rows, d])
 
-    # one lax.sort per distinct row count; equal-width groups stack rows
+    # one lax.sort per distinct row count; equal-width groups stack rows.
+    # Calls are CHUNKED to at most _MAX_SORT_OPS payload operands: XLA's TPU
+    # sort scopes ~0.5 MB of VMEM per operand and hard-fails past ~31
+    # operands at 60k points ("scoped vmem limit exceeded", hit by the f32
+    # reference-parity config), and compile time grows ~5 s/operand. Chunks
+    # share the keys, so every chunk applies the same permutation — key ties
+    # occur only between rows with identical payloads (padding / replicate
+    # duplicates), where any per-chunk resolution yields identical bytes
+    # (see _folded_sort's tie-safety note).
     outs = [None] * len(prepped)
     srcs = [None] * len(prepped)
     by_width: dict = {}
@@ -253,18 +265,23 @@ def _grouped_sort_impl(keys_list, payload_list, pack, n_ops=1,
         by_width.setdefault(len(rows), []).append(gi)
     for width, gis in by_width.items():
         keys_st = jnp.concatenate([prepped[gi][0] for gi in gis], axis=0)
-        ops = [keys_st]
-        for j in range(width):
-            ops.append(
-                jnp.concatenate([prepped[gi][1][j] for gi in gis], axis=0)
+        cols = [
+            jnp.concatenate([prepped[gi][1][j] for gi in gis], axis=0)
+            for j in range(width)
+        ]
+        sorted_cols = []
+        for lo in range(0, width, _MAX_SORT_OPS):
+            chunk = cols[lo : lo + _MAX_SORT_OPS]
+            sorted_cols.extend(
+                jax.lax.sort(
+                    [keys_st] + chunk, dimension=-1, num_keys=1,
+                    is_stable=False,
+                )[1:]
             )
-        sorted_ops = jax.lax.sort(
-            ops, dimension=-1, num_keys=1, is_stable=False
-        )[1:]
         for sl, gi in enumerate(gis):
             d = prepped[gi][2]
             rows_s = [
-                op[sl * c * h : (sl + 1) * c * h] for op in sorted_ops
+                op[sl * c * h : (sl + 1) * c * h] for op in sorted_cols
             ]
             srcs[gi] = rows_s[-1].reshape(c, h, n).astype(jnp.int32)
             grp = jnp.stack(rows_s[:-1], axis=1).reshape(c, h, width - 1, n)

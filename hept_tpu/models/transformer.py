@@ -49,7 +49,11 @@ class TransformerConfig:
     num_and_hashes: int = 2
     dropout: float = 0.1
     padding_mode: str = "zero"  # "zero" (src parity) | "replicate" (example)
-    attn_impl: str = "xla"  # "xla" | "pallas" | "hybrid" (einsum fwd + pallas bwd)
+    # bucket-kernel impl: "xla" einsums | "pallas" per-bucket-loop kernels |
+    # "hybrid" (xla einsum fwd + pallas bwd) | "slab" (block-diagonal-masked
+    # slab kernels fwd+bwd — one big MXU dot per g buckets, no serial
+    # per-bucket chain) | "hybrid_slab" (xla fwd + slab bwd)
+    attn_impl: str = "xla"
     sort_pack: bool = False  # bf16-packed sort payloads in HEPT attention
     sort_ops: int = 1  # payload operands per sort call (see grouped_sort_carry)
     # bf16-packed unsort of the attention numerator/denominator (the

@@ -275,11 +275,12 @@ def hept_attention_core_cols(
     sk = skv[:, :, :d_hash].reshape(c * h, d_hash, n)
     sv = skv[:, :, d_hash:].reshape(c * h, dv, n)
 
-    if impl in ("pallas", "hybrid") and jax.default_backend() == "tpu":
+    if impl in ("pallas", "hybrid", "slab", "hybrid_slab") \
+            and jax.default_backend() == "tpu":
         from .bucket_attn_pallas import bucket_rbf_attention_cols_pallas
 
         denom, so = bucket_rbf_attention_cols_pallas(
-            sq, sk, sv, block_size=block_size, hybrid=impl == "hybrid")
+            sq, sk, sv, block_size=block_size, hybrid=impl)
     else:
         denom, so = bucket_rbf_attention_cols_xla(sq, sk, sv, block_size)
 
@@ -673,11 +674,12 @@ def hept_attention_core_xcols(
             preferred_element_type=ptype,
         ).reshape(c * h * n_ev, dv, ne)
 
-    if impl in ("pallas", "hybrid") and jax.default_backend() == "tpu":
+    if impl in ("pallas", "hybrid", "slab", "hybrid_slab") \
+            and jax.default_backend() == "tpu":
         from .bucket_attn_pallas import bucket_rbf_attention_cols_pallas
 
         denom, so = bucket_rbf_attention_cols_pallas(
-            sq, sk, sv, block_size=block_size, hybrid=impl == "hybrid")
+            sq, sk, sv, block_size=block_size, hybrid=impl)
     else:
         denom, so = bucket_rbf_attention_cols_xla(sq, sk, sv, block_size)
 

@@ -417,7 +417,272 @@ def _bwd_cols_kernel(
         )
 
 
-def _make_cols_pallas(bs: int, hybrid: bool = False):
+def _fwd_slab_kernel(q_ref, k_ref, v_ref, denom_ref, so_ref, *, bs: int):
+    """Block-diagonal SLAB forward: one grid step processes g consecutive
+    buckets as a single (S, S) MXU dot, S = g·bs, with a block-diagonal mask
+    zeroing cross-bucket entries.
+
+    The per-bucket loop in `_fwd_cols_kernel` chains g small (B, B) dots —
+    serial MXU latency dominates (~6.5 us/grid step vs ~0.3 ms of FLOPs for
+    the whole layer; ROADMAP round-3 decomposition). Masked entries are
+    exact zeros, so every downstream reduction (denominator sublane sum, the
+    value contraction, and all backward sums) automatically restricts to the
+    own bucket: identical math at g× the (near-free) MXU FLOPs, ~1/g the
+    serial chain length."""
+    q = q_ref[0]  # (d, S)
+    k = k_ref[0]
+    v = v_ref[0]
+    S = q.shape[-1]
+    bf16 = q_ref.dtype == jnp.bfloat16
+    prec = None if bf16 else jax.lax.Precision.HIGHEST
+    ones_row = jnp.ones((1, S), q_ref.dtype)
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    if bf16:
+        ones_d = jnp.ones((1, q.shape[0]), jnp.float32)
+        q_sq = -0.5 * jax.lax.dot_general(
+            ones_d, qf * qf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        k_sq = -0.5 * jax.lax.dot_general(
+            ones_d, kf * kf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        q_hi, q_lo = _split_rows(q_sq)
+        k_hi, k_lo = _split_rows(k_sq)
+        qa = jnp.concatenate([q, q_hi, q_lo, ones_row, ones_row], axis=0)
+        ka = jnp.concatenate([k, ones_row, ones_row, k_hi, k_lo], axis=0)
+    else:
+        q_sq = -0.5 * jnp.sum(qf * qf, axis=0)[None, :]
+        k_sq = -0.5 * jnp.sum(kf * kf, axis=0)[None, :]
+        qa = jnp.concatenate([q, q_sq, ones_row], axis=0)
+        ka = jnp.concatenate([k, ones_row, k_sq], axis=0)
+    logits_t = jax.lax.dot_general(  # (S_k, S_q)
+        ka, qa, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+    row_b = jax.lax.broadcasted_iota(jnp.int32, logits_t.shape, 0) // bs
+    col_b = jax.lax.broadcasted_iota(jnp.int32, logits_t.shape, 1) // bs
+    same = row_b == col_b
+    pt = jnp.where(same, jnp.exp(jnp.minimum(logits_t, 0.0)), 0.0)
+    denom_ref[0, 0, :] = jnp.sum(pt, axis=0) + DENOM_EPS
+    so_ref[0] = jax.lax.dot_general(  # v (dv, S_k) @ pt -> (dv, S_q)
+        v, pt.astype(q_ref.dtype) if bf16 else pt,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+
+
+def _bwd_slab_kernel(
+    q_ref, k_ref, v_ref, gso_ref, gden_ref, dq_ref, dk_ref, dv_ref, *, bs: int
+):
+    """Block-diagonal slab backward (see `_fwd_slab_kernel`): the 5 chained
+    per-bucket dots of `_bwd_cols_kernel` become 5 slab-wide dots; the
+    block-diagonal mask on dlt/pt keeps every contraction within-bucket."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g_so = gso_ref[0]  # (dv, S_q)
+    g_den = gden_ref[0:1, 0, :]  # (1, S_q)
+    S = q.shape[-1]
+    bf16 = q_ref.dtype == jnp.bfloat16
+    prec = None if bf16 else jax.lax.Precision.HIGHEST
+    cdt = q_ref.dtype
+    ones_row = jnp.ones((1, S), cdt)
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    if bf16:
+        ones_d = jnp.ones((1, q.shape[0]), jnp.float32)
+        q_sq = -0.5 * jax.lax.dot_general(
+            ones_d, qf * qf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        k_sq = -0.5 * jax.lax.dot_general(
+            ones_d, kf * kf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        q_hi, q_lo = _split_rows(q_sq)
+        k_hi, k_lo = _split_rows(k_sq)
+        qa = jnp.concatenate([q, q_hi, q_lo, ones_row, ones_row], axis=0)
+        ka = jnp.concatenate([k, ones_row, ones_row, k_hi, k_lo], axis=0)
+    else:
+        q_sq = -0.5 * jnp.sum(qf * qf, axis=0)[None, :]
+        k_sq = -0.5 * jnp.sum(kf * kf, axis=0)[None, :]
+        qa = jnp.concatenate([q, q_sq, ones_row], axis=0)
+        ka = jnp.concatenate([k, ones_row, k_sq], axis=0)
+    logits_t = jax.lax.dot_general(  # (S_k, S_q)
+        ka, qa, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+    row_b = jax.lax.broadcasted_iota(jnp.int32, logits_t.shape, 0) // bs
+    col_b = jax.lax.broadcasted_iota(jnp.int32, logits_t.shape, 1) // bs
+    same = row_b == col_b
+    pt = jnp.where(same, jnp.exp(jnp.minimum(logits_t, 0.0)), 0.0)
+    va = jnp.concatenate([v, ones_row], axis=0)  # (dv+1, S_k)
+    ga = jnp.concatenate([g_so, g_den.astype(cdt)], axis=0)  # (dv+1, S_q)
+    gpt = jax.lax.dot_general(
+        va, ga, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+    dlt = jnp.where(jnp.logical_and(logits_t < 0.0, same), pt * gpt, 0.0)
+    dlt_c = dlt.astype(cdt) if bf16 else dlt
+    pt_c = pt.astype(cdt) if bf16 else pt
+    row_sum = jnp.sum(dlt, axis=0)[None, :]  # (1, S_q)
+    dq_ref[0] = (
+        jax.lax.dot_general(  # k (d, S_k) @ dlt -> (d, S_q)
+            k, dlt_c, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        - row_sum * qf
+    )
+    col_sum = jax.lax.dot_general(  # (1, S_k)
+        ones_row, dlt_c, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dk_ref[0] = (
+        jax.lax.dot_general(  # q (d, S_q) x dlt (S_k, S_q) -> (d, S_k)
+            q, dlt_c, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        - col_sum * kf
+    )
+    dv_ref[0] = jax.lax.dot_general(  # g_so (dv, S_q) x pt -> (dv, S_k)
+        g_so, pt_c, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+
+def _pad_slab(x3, n_pad):
+    pad = n_pad - x3.shape[-1]
+    if pad == 0:
+        return x3
+    return jnp.pad(x3, [(0, 0), (0, 0), (0, pad)])
+
+
+def _slab_g(bs: int, cap_bytes: int = 4 << 20) -> int:
+    """Buckets per slab: the largest power-of-two g whose (S, S) f32 mask/
+    p/dlt temporaries stay under cap_bytes (g=8 at bs=100 -> 2.56 MB per
+    (S,S) f32 array; the bwd kernel keeps ~3 live)."""
+    g = 1
+    while (2 * g * bs) ** 2 * 4 <= cap_bytes:
+        g *= 2
+    return g
+
+
+def _to_slab_batch(x3, S):
+    """(r, d, n) -> (r·ns, d, S): the Pallas TPU block rule wants the last
+    block dim to be a multiple of 128 OR the full axis — S = g·100 is
+    neither on the flat n axis, so the slab index moves into the BATCH dim
+    and each block covers its full (d, S) plane. XLA pays one transposed
+    copy each way (~0.2 ms per 150 MB at tracking-60k shapes), recovered
+    many times over by the de-serialized kernel."""
+    r, d, n = x3.shape
+    ns = n // S
+    return jnp.moveaxis(x3.reshape(r, d, ns, S), 2, 1).reshape(r * ns, d, S)
+
+
+def _from_slab_batch(y3, r):
+    """(r·ns, d, S) -> (r, d, ns·S)."""
+    rn, d, S = y3.shape
+    ns = rn // r
+    return jnp.moveaxis(y3.reshape(r, ns, d, S), 1, 2).reshape(r, d, ns * S)
+
+
+def _fwd_slab_impl(sq: Array, sk: Array, sv: Array, bs: int, g: int,
+                   interpret: bool = False):
+    r, d, n = sq.shape
+    dv = sv.shape[1]
+    S = g * bs
+    n_pad = _round_up(n, S)
+    sq, sk, sv = (
+        _to_slab_batch(_pad_slab(x, n_pad), S) for x in (sq, sk, sv)
+    )
+    grid = (sq.shape[0],)
+    kernel = functools.partial(_fwd_slab_kernel, bs=bs)
+    denom, so = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, d, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dv, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dv, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((grid[0], 1, S), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], dv, S), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=r * n_pad * 2 * S * (d + dv),
+            bytes_accessed=4 * r * n_pad * (2 * d + 2 * dv + 1),
+            transcendentals=r * n_pad * S,
+        ),
+        interpret=interpret,
+    )(sq, sk, sv)
+    return (
+        _from_slab_batch(denom, r)[:, :, :n],
+        _from_slab_batch(so, r)[:, :, :n],
+    )
+
+
+def _bwd_slab_impl(residuals, grads, bs, g, interpret: bool = False):
+    sq, sk, sv = residuals
+    g_denom, g_so = grads
+    g_so = g_so.astype(sv.dtype)
+    g_denom = g_denom.astype(jnp.float32)
+    r, d, n = sq.shape
+    dv = sv.shape[1]
+    S = g * bs
+    n_pad = _round_up(n, S)
+    in_dt = (sq.dtype, sk.dtype, sv.dtype)
+    sq, sk, sv, g_so, g_denom = (
+        _to_slab_batch(_pad_slab(x, n_pad), S)
+        for x in (sq, sk, sv, g_so, g_denom)
+    )
+    grid = (sq.shape[0],)
+    kernel = functools.partial(_bwd_slab_kernel, bs=bs)
+    dq, dk, dv_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, d, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dv, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dv, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, d, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dv, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((grid[0], d, S), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], d, S), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], dv, S), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=r * n_pad * 2 * S * (3 * d + 2 * dv),
+            bytes_accessed=4 * r * n_pad * (4 * d + 4 * dv + 1),
+            transcendentals=r * n_pad * S,
+        ),
+        interpret=interpret,
+    )(sq, sk, sv, g_so, g_denom)
+    return (
+        _from_slab_batch(dq, r)[:, :, :n].astype(in_dt[0]),
+        _from_slab_batch(dk, r)[:, :, :n].astype(in_dt[1]),
+        _from_slab_batch(dv_out, r)[:, :, :n].astype(in_dt[2]),
+    )
+
+
+def _make_cols_pallas(bs: int, mode: str = "pallas"):
+    slab_g = _slab_g(bs)
+    if mode in ("slab", "hybrid_slab") and slab_g < 2:
+        mode = {"slab": "pallas", "hybrid_slab": "hybrid"}[mode]  # bs too big
+    hybrid = mode in ("hybrid", "hybrid_slab")
     if hybrid:
         # Hybrid forward: XLA's batched einsum runs the 14400 small per-
         # bucket matmuls as one big MXU batch (6.0 vs 10.2 ms at tracking-
@@ -434,9 +699,19 @@ def _make_cols_pallas(bs: int, hybrid: bool = False):
             prec = (None if sq.dtype == jnp.bfloat16
                     else jax.lax.Precision.HIGHEST)
             return bucket_rbf_attention_cols_xla(sq, sk, sv, bs, precision=prec)
+    elif mode == "slab":
+        def _fwd(sq, sk, sv):
+            return _fwd_slab_impl(sq, sk, sv, bs, slab_g)
     else:
         def _fwd(sq, sk, sv):
             return _fwd_cols_impl(sq, sk, sv, bs)
+
+    if mode in ("slab", "hybrid_slab"):
+        def _bwd(residuals, grads):
+            return _bwd_slab_impl(residuals, grads, bs, slab_g)
+    else:
+        def _bwd(residuals, grads):
+            return _bwd_cols_impl(residuals, grads, bs)
 
     @jax.custom_vjp
     def f(sq, sk, sv):
@@ -446,7 +721,7 @@ def _make_cols_pallas(bs: int, hybrid: bool = False):
         return _fwd(sq, sk, sv), (sq, sk, sv)
 
     def bwd(residuals, grads):
-        return _bwd_cols_impl(residuals, grads, bs)
+        return _bwd(residuals, grads)
 
     f.defvjp(fwd, bwd)
     return f
@@ -456,19 +731,29 @@ _cols_pallas_cache: dict = {}
 
 
 def bucket_rbf_attention_cols_pallas(sq: Array, sk: Array, sv: Array, *,
-                                     block_size: int, hybrid: bool = False):
+                                     block_size: int, hybrid=False):
     """Column-major fused per-bucket RBF attention.
 
     Args: sq, sk: (r, d, n); sv: (r, dv, n) with n = nb * B (sorted bucket
-    layout along the last axis; r = c*h grid rows). hybrid=True runs the
-    forward as XLA batched einsums (faster; see _make_cols_pallas) and only
-    the backward as the fused Pallas kernel.
+    layout along the last axis; r = c*h grid rows). `hybrid` selects the
+    impl: True/"hybrid" runs the forward as XLA batched einsums (faster
+    than the per-bucket-loop Pallas forward; see _make_cols_pallas) with
+    the fused per-bucket Pallas backward; "slab" runs the block-diagonal
+    slab kernels both directions (one big masked MXU dot per g buckets —
+    no serial per-bucket chain); "hybrid_slab" = XLA forward + slab
+    backward; False = per-bucket-loop Pallas both directions.
     Returns: (denom (r, 1, n), so (r, dv, n)).
     """
-    fn = _cols_pallas_cache.get((block_size, hybrid))
+    if hybrid is True:
+        mode = "hybrid"
+    elif hybrid is False:
+        mode = "pallas"
+    else:
+        mode = hybrid
+    fn = _cols_pallas_cache.get((block_size, mode))
     if fn is None:
-        fn = _make_cols_pallas(block_size, hybrid)
-        _cols_pallas_cache[(block_size, hybrid)] = fn
+        fn = _make_cols_pallas(block_size, mode)
+        _cols_pallas_cache[(block_size, mode)] = fn
     return fn(sq, sk, sv)
 
 

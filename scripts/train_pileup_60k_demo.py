@@ -25,7 +25,7 @@ cfg = ExperimentConfig(
         h_dim=24, n_layers=4, num_w_per_dist=10, sort_pack=True,
         sort_ops=8, qkv_post_sort=True, scan_layers=True,
         unsort_pack=True, shared_sort=True, share_heads=True,
-        kernel_bf16=True,
+        kernel_bf16=True, static_keys="x0", canon_residual=True,
     ),
     optimizer_kwargs={"lr": 1e-3},
     lr_scheduler_name="impatient",  # ReduceLROnPlateau (factor .5, patience 20)

@@ -302,3 +302,31 @@ def test_grouped_sort_n_ops_equivalence():
     g1 = jax.grad(loss1, argnums=(0, 1))(p1, p2)
     for a, b in zip(g1, g4):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_grouped_sort_wide_payload_chunking():
+    """Payloads wider than _MAX_SORT_OPS split across several lax.sort calls
+    (the VMEM guard for the f32 reference-parity sorts) — results must match
+    a plain argsort application exactly, forward and backward."""
+    import numpy as np
+
+    from hept_tpu.core.buckets import _MAX_SORT_OPS, grouped_sort_carry
+
+    rng = np.random.default_rng(9)
+    c, h, n, d = 2, 2, 96, _MAX_SORT_OPS + 7  # u32 rows = d + iota > chunk
+    keys = jnp.asarray(rng.normal(size=(c, h, n)).astype(np.float32))
+    payload = jnp.asarray(rng.normal(size=(c, h, d, n)).astype(np.float32))
+
+    (out,), (src,) = grouped_sort_carry([keys], [payload], pack=False)
+    order = np.argsort(np.asarray(keys), axis=-1)
+    np.testing.assert_array_equal(np.asarray(src), order)
+    want = np.take_along_axis(np.asarray(payload), order[:, :, None, :], axis=3)
+    np.testing.assert_array_equal(np.asarray(out), want)
+
+    w = jnp.asarray(rng.normal(size=payload.shape).astype(np.float32))
+    g = jax.grad(
+        lambda p: (w * grouped_sort_carry([keys], [p], pack=False)[0][0]).sum()
+    )(payload)
+    inv = np.argsort(order, axis=-1)
+    want_g = np.take_along_axis(np.asarray(w), inv[:, :, None, :], axis=3)
+    np.testing.assert_array_equal(np.asarray(g), want_g)

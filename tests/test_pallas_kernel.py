@@ -275,3 +275,103 @@ def test_bitonic_sort_rows_interpret():
     np.testing.assert_array_equal(np.asarray(out[-1]), np.asarray(ref[1]))
     for j in range(ops - 1):
         np.testing.assert_array_equal(np.asarray(out[j]), np.asarray(ref[2 + j]))
+
+
+class TestSlabKernels:
+    """Block-diagonal slab kernels (one masked (S, S) MXU dot per g buckets)
+    vs the cols XLA golden path — f32 and bf16, fwd and bwd."""
+
+    def _data(self, r=3, d=6, dv=5, nb=10, bs=8, seed=21):
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        n = nb * bs
+        return (
+            _rand(k1, (r, d, n)),
+            _rand(k2, (r, d, n)),
+            _rand(k3, (r, dv, n)),
+        )
+
+    def test_fwd_matches_xla(self):
+        from hept_tpu.ops.bucket_attn import bucket_rbf_attention_cols_xla
+        from hept_tpu.ops.bucket_attn_pallas import (
+            bucket_rbf_attention_cols_pallas,
+        )
+
+        # nb=10 not divisible by the slab group: exercises the n padding
+        sq, sk, sv = self._data()
+        den_x, so_x = bucket_rbf_attention_cols_xla(sq, sk, sv, 8)
+        with _ctx():
+            den_p, so_p = bucket_rbf_attention_cols_pallas(
+                sq, sk, sv, block_size=8, hybrid="slab")
+        np.testing.assert_allclose(np.asarray(den_p), np.asarray(den_x),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(so_p), np.asarray(so_x),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_bwd_matches_xla(self):
+        from hept_tpu.ops.bucket_attn import bucket_rbf_attention_cols_xla
+        from hept_tpu.ops.bucket_attn_pallas import (
+            bucket_rbf_attention_cols_pallas,
+        )
+
+        sq, sk, sv = self._data(seed=22)
+
+        def loss_x(sq, sk, sv):
+            den, so = bucket_rbf_attention_cols_xla(sq, sk, sv, 8)
+            return jnp.sum(so / den) + jnp.sum(jnp.log(den))
+
+        def loss_p(sq, sk, sv):
+            den, so = bucket_rbf_attention_cols_pallas(
+                sq, sk, sv, block_size=8, hybrid="slab")
+            return jnp.sum(so / den) + jnp.sum(jnp.log(den))
+
+        g_x = jax.grad(loss_x, argnums=(0, 1, 2))(sq, sk, sv)
+        with _ctx():
+            g_p = jax.grad(loss_p, argnums=(0, 1, 2))(sq, sk, sv)
+        for a, b, nm in zip(g_x, g_p, ("dq", "dk", "dv")):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5, err_msg=nm
+            )
+
+    def test_hybrid_slab_bwd_matches_xla(self):
+        from hept_tpu.ops.bucket_attn import bucket_rbf_attention_cols_xla
+        from hept_tpu.ops.bucket_attn_pallas import (
+            bucket_rbf_attention_cols_pallas,
+        )
+
+        sq, sk, sv = self._data(seed=23)
+
+        def loss_x(sq, sk, sv):
+            den, so = bucket_rbf_attention_cols_xla(sq, sk, sv, 8)
+            return jnp.sum(so / den)
+
+        def loss_p(sq, sk, sv):
+            den, so = bucket_rbf_attention_cols_pallas(
+                sq, sk, sv, block_size=8, hybrid="hybrid_slab")
+            return jnp.sum(so / den)
+
+        g_x = jax.grad(loss_x, argnums=(0, 1, 2))(sq, sk, sv)
+        with _ctx():
+            g_p = jax.grad(loss_p, argnums=(0, 1, 2))(sq, sk, sv)
+        for a, b, nm in zip(g_x, g_p, ("dq", "dk", "dv")):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5, err_msg=nm
+            )
+
+    def test_fwd_bf16_close_to_f32(self):
+        from hept_tpu.ops.bucket_attn import bucket_rbf_attention_cols_xla
+        from hept_tpu.ops.bucket_attn_pallas import (
+            bucket_rbf_attention_cols_pallas,
+        )
+
+        sq, sk, sv = self._data(seed=24)
+        den_x, so_x = bucket_rbf_attention_cols_xla(sq, sk, sv, 8)
+        b = jnp.bfloat16
+        with _ctx():
+            den_p, so_p = bucket_rbf_attention_cols_pallas(
+                sq.astype(b), sk.astype(b), sv.astype(b), block_size=8,
+                hybrid="slab")
+        assert den_p.dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(den_p), np.asarray(den_x), rtol=3e-2, atol=1e-2)
+        np.testing.assert_allclose(
+            np.asarray(so_p), np.asarray(so_x), rtol=5e-2, atol=3e-2)
