@@ -270,11 +270,25 @@ def _grouped_sort_impl(keys_list, payload_list, pack, n_ops=1,
             for j in range(width)
         ]
         sorted_cols = []
-        for lo in range(0, width, _MAX_SORT_OPS):
+        for ci, lo in enumerate(range(0, width, _MAX_SORT_OPS)):
             chunk = cols[lo : lo + _MAX_SORT_OPS]
+            k = keys_st
+            if ci:
+                # XLA's sort-merger CSE re-fuses same-key sorts into one
+                # variadic call (measured on TPU: two 4-op sorts compiled to
+                # one 7-op sort), undoing the chunking and re-busting scoped
+                # VMEM. A per-chunk order-preserving key transform defeats
+                # it: f32 *2**ci multiplies the exponent exactly (pads
+                # saturate to +inf together — identical payloads, tie-safe);
+                # int +ci shifts unique indices uniformly.
+                k = (
+                    keys_st * jnp.float32(2.0**ci)
+                    if jnp.issubdtype(keys_st.dtype, jnp.floating)
+                    else keys_st + jnp.asarray(ci, keys_st.dtype)
+                )
             sorted_cols.extend(
                 jax.lax.sort(
-                    [keys_st] + chunk, dimension=-1, num_keys=1,
+                    [k] + chunk, dimension=-1, num_keys=1,
                     is_stable=False,
                 )[1:]
             )

@@ -1,6 +1,11 @@
 """Train the headline fast config on synthetic tracking-60k to a real
 retrieval metric on TPU — the end-to-end evidence run for the 60k workload
-(trainer harness, flat batching, windowed fast loss, hybrid kernels)."""
+(trainer harness, flat batching, windowed fast loss, hybrid kernels).
+
+Usage: python scripts/train_60k_demo.py [variant]
+  variant: full (default: static_keys + canon) | static (static_keys only)
+         | r2stack (share_heads/kernel_bf16, no static_keys)
+"""
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -14,6 +19,17 @@ from hept_tpu.data.datasets import make_synthetic_tracking
 from hept_tpu.train.config import ExperimentConfig
 from hept_tpu.train.trainer import run_one_seed
 
+VARIANTS = {
+    "full": dict(static_keys="x0", canon_residual=True),
+    "static": dict(static_keys="x0"),
+    "coords": dict(static_keys="coords", canon_residual=True),
+    "r2stack": dict(),
+    "noshare": dict(share_heads=False),  # round-2 stack + kernel_bf16
+    "nokb": dict(kernel_bf16=False),  # share_heads without bf16 kernels
+}
+variant = sys.argv[1] if len(sys.argv) > 1 else "full"
+lr = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-2
+
 ds = make_synthetic_tracking(n_events=10, n_points=60_000, seed=0,
                              avg_track_size=8, pairs_per_point=16)
 
@@ -24,9 +40,9 @@ cfg = ExperimentConfig(
         h_dim=24, n_layers=4, num_w_per_dist=10, sort_pack=True,
         sort_ops=8, qkv_post_sort=True, scan_layers=True,
         unsort_pack=True, shared_sort=True, share_heads=True,
-        kernel_bf16=True, static_keys="x0", canon_residual=True,
+        kernel_bf16=True, **VARIANTS[variant],
     ),
-    optimizer_kwargs={"lr": 1e-2},
+    optimizer_kwargs={"lr": lr},
     lr_scheduler_name="step",
     lr_scheduler_kwargs={"step_size": 500, "gamma": 0.5},
     num_epochs=25,
@@ -39,6 +55,6 @@ cfg = ExperimentConfig(
     attn_impl="hybrid",
 )
 res = run_one_seed(cfg, dataset=ds)
-print(f"RESULT tracking-60k: acc@0.9={res['accuracy@0.9']:.4f} "
+print(f"RESULT tracking-60k [{variant} lr={lr:g}]: acc@0.9={res['accuracy@0.9']:.4f} "
       f"recall@0.9={res['recall@0.9']:.4f} prec@0.9={res.get('precision@0.9', float('nan')):.4f} "
       f"loss={res['loss']:.4f}", flush=True)
