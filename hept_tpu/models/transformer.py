@@ -94,6 +94,13 @@ class TransformerConfig:
     # per-layer re-hash of evolved features (hept.py:93-104); convergence-
     # gated like shared_sort/share_heads (PARITY.md divergences).
     static_keys: Any = False  # False | True | "x0" | "coords"
+    # With static_keys: AND-compose a second quantized hash direction into
+    # the per-round static key (this many bins; 0 = off). At 60k scale one
+    # region cell spans ~4 buckets and a single static direction loses
+    # bucket locality — the measured cause of the 60k/lr=1e-2 divergence
+    # (ROADMAP round-3); the AND bin restores 2-D locality the same way the
+    # reference's region AND codes do.
+    static_and_bins: int = 0
     # TPU fast mode (requires static_keys): keep the residual stream in
     # round-0's sorted order — the CANONICAL order — for the whole layer
     # stack. Round 0 then needs no per-layer x-gather and no output unsort
@@ -506,13 +513,15 @@ class HeptTransformer(nn.Module):
                 "constants",
                 "static_alpha",
                 lambda: e2lsh_init(
-                    self.make_rng("params"), 1,
+                    self.make_rng("params"),
+                    2 if cfg.static_and_bins else 1,
                     cfg.h_dim + cfg.coords_dim, cfg.n_hashes,
                 ),
             ).value
             variant = ("coords" if cfg.static_keys == "coords" else "x0")
             scale = float(np.sqrt(2.0 * cfg.num_w_per_dist))
-            hashed = static_hash(h.T, coords.T, alpha_s, scale, variant)
+            hashed = static_hash(h.T, coords.T, alpha_s, scale, variant,
+                                 and_bins=cfg.static_and_bins)
             plan = static_bucket_plan(
                 hashed, codes[:, 0], invalid, coords.T,
                 sort_events=cfg.sort_events, sort_pack=cfg.sort_pack,

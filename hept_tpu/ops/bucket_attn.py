@@ -303,7 +303,7 @@ def hept_attention_core_cols(
 
 
 def static_hash(x0_cols: Array, coords_cols: Array, alpha: Array,
-                scale: float, variant: str) -> Array:
+                scale: float, variant: str, and_bins: int = 0) -> Array:
     """Layer-invariant bucket hashes for the `static_keys` fast mode.
 
     Hash ONCE per step in [x0|coords] space (x0 = encoder output), reused by
@@ -315,23 +315,53 @@ def static_hash(x0_cols: Array, coords_cols: Array, alpha: Array,
     Args:
       x0_cols: (d_model, n) encoder-output columns.
       coords_cols: (cd, n).
-      alpha: (1, d_model + cd, c) E2LSH directions.
+      alpha: (1 or 2, d_model + cd, c) E2LSH directions (two rows when
+        and_bins > 0: primary + secondary).
       scale: coords-part weight (the init-time RPE scale
         sqrt(2 * num_w_per_dist); per-layer learned scales are unavailable
         outside the layers by construction).
       variant: "x0" hashes standardized x0 + scaled coords; "coords" hashes
         the scaled coords alone (pure geometric bucketing).
+      and_bins: 0 = single 1-D hash per round. > 0 = AND-compose a SECOND
+        independent direction, quantized into this many bins, above the
+        primary hash: key = h1 + q2 * span(h1). At tracking-60k scale one
+        region cell spans ~4 buckets and a single static direction yields
+        buckets with poor locality in the unhashed dims — the measured
+        cause of the 60k/lr=1e-2 training divergence (ROADMAP round-3).
+        The AND bin subdivides cells along a second direction first, the
+        same construction as the reference's region AND codes.
     Returns: (c, n) raw hash values (stop-gradded).
     """
     d_model = x0_cols.shape[0]
-    a1, a2 = alpha[0, :d_model, :], alpha[0, d_model:, :]
-    hashed = jnp.einsum("rc,rn->cn", scale * a2, coords_cols)
-    if variant == "x0":
-        mu = x0_cols.mean(axis=0, keepdims=True)
-        sd = jnp.sqrt(
-            ((x0_cols - mu) ** 2).mean(axis=0, keepdims=True) + 1e-6
+
+    def one(a):  # (d_model + cd, c) -> (c, n)
+        a1, a2 = a[:d_model, :], a[d_model:, :]
+        h = jnp.einsum("rc,rn->cn", scale * a2, coords_cols)
+        if variant == "x0":
+            mu = x0_cols.mean(axis=0, keepdims=True)
+            sd = jnp.sqrt(
+                ((x0_cols - mu) ** 2).mean(axis=0, keepdims=True) + 1e-6
+            )
+            h = h + jnp.einsum("ec,en->cn", a1, (x0_cols - mu) / sd)
+        return h
+
+    hashed = one(alpha[0])
+    if and_bins:
+        h2 = one(alpha[1])
+        lo = h2.min(axis=1, keepdims=True)
+        hi = h2.max(axis=1, keepdims=True)
+        q2 = jnp.clip(
+            jnp.floor((h2 - lo) / (hi - lo + 1e-12) * and_bins),
+            0, and_bins - 1,
         )
-        hashed = hashed + jnp.einsum("ec,en->cn", a1, (x0_cols - mu) / sd)
+        # strictly > (max - min): bin q's top key (h1=max) must land BELOW
+        # bin q+1's bottom key (h1=min); with span exactly max-min the two
+        # are bitwise equal and sort order at the boundary is arbitrary
+        span = 1.001 * (
+            hashed.max(axis=1, keepdims=True)
+            - hashed.min(axis=1, keepdims=True)
+        )
+        hashed = hashed + q2 * span
     return jax.lax.stop_gradient(hashed)
 
 

@@ -26,6 +26,12 @@ VARIANTS = {
     "r2stack": dict(),
     "noshare": dict(share_heads=False),  # round-2 stack + kernel_bf16
     "nokb": dict(kernel_bf16=False),  # share_heads without bf16 kernels
+    # static hash with an AND-composed second quantized direction — the
+    # candidate fix for the 60k static divergence (bucket locality)
+    "fullb4": dict(static_keys="x0", canon_residual=True, static_and_bins=4),
+    "fullb8": dict(static_keys="x0", canon_residual=True, static_and_bins=8),
+    "coordsb4": dict(static_keys="coords", canon_residual=True,
+                     static_and_bins=4),
 }
 variant = sys.argv[1] if len(sys.argv) > 1 else "full"
 lr = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-2

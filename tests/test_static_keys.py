@@ -147,6 +147,85 @@ def test_core_plan_matches_share_heads_same_keys():
     )
 
 
+def test_static_hash_and_bins_orders_by_secondary_then_primary():
+    """With and_bins, sorting the key must group by the quantized secondary
+    direction FIRST and order by the primary hash within each bin (the AND
+    construction: key = h1 + q2 * span(h1) with non-overlapping bin ranges).
+    """
+    rng = np.random.default_rng(13)
+    d_model, cd, c, n, bins = 12, 3, 2, 400, 4
+    x0 = jnp.asarray(rng.normal(size=(d_model, n)).astype(np.float32))
+    coords = jnp.asarray(rng.normal(size=(cd, n)).astype(np.float32))
+    alpha = jnp.asarray(
+        rng.normal(size=(2, d_model + cd, c)).astype(np.float32)
+    )
+    base = static_hash(x0, coords, alpha, 1.3, "x0", and_bins=0)
+    keyed = static_hash(x0, coords, alpha, 1.3, "x0", and_bins=bins)
+    assert base.shape == keyed.shape == (c, n)
+    # base uses only alpha[0] — identical to pre-and_bins behavior
+    only0 = static_hash(x0, coords, alpha[:1], 1.3, "x0", and_bins=0)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(only0), rtol=1e-6)
+
+    # recover h1/q2 independently and check the grouping property per round.
+    # The quantization is replicated with the same jnp ops/order as
+    # static_hash so bin boundaries match bitwise.
+    h1 = np.asarray(base)
+    h2j = static_hash(x0, coords, alpha[1:], 1.3, "x0", and_bins=0)
+    lo_j = h2j.min(axis=1, keepdims=True)
+    hi_j = h2j.max(axis=1, keepdims=True)
+    q2_all = np.asarray(
+        jnp.clip(
+            jnp.floor((h2j - lo_j) / (hi_j - lo_j + 1e-12) * bins),
+            0, bins - 1,
+        )
+    )
+    for r in range(c):
+        q2 = q2_all[r]
+        order = np.argsort(np.asarray(keyed[r]), kind="stable")
+        qs = q2[order]
+        assert (np.diff(qs) >= 0).all(), "secondary bins not contiguous"
+        for b in range(bins):
+            seg = order[qs == b]
+            assert (np.diff(h1[r][seg]) >= 0).all(), (
+                f"primary order violated inside bin {b}"
+            )
+
+
+def test_model_static_and_bins_forward_and_grad():
+    from hept_tpu.models import HeptTransformer, TransformerConfig
+
+    rng = np.random.default_rng(17)
+    n = 600
+    cfg = TransformerConfig(
+        in_dim=5, coords_dim=3, h_dim=8, num_heads=2, n_layers=2,
+        block_size=50, n_hashes=2, num_regions=20, num_w_per_dist=4,
+        padding_mode="replicate", scan_layers=True, qkv_post_sort=True,
+        shared_sort=True, share_heads=True, static_keys="x0",
+        static_and_bins=4, sort_pack=True, unsort_pack=True,
+    )
+    model = HeptTransformer(cfg)
+    x = jnp.asarray(rng.normal(size=(n, 5)).astype(np.float32))
+    coords = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    valid = jnp.asarray(np.ones(n, bool))
+    variables = model.init(jax.random.PRNGKey(0), x, coords, valid)
+    assert variables["constants"]["static_alpha"].shape[0] == 2
+    out = model.apply(variables, x, coords, valid)
+    assert out.shape == (n, cfg.h_dim // 2)
+    assert bool(jnp.isfinite(out).all())
+
+    def loss(p):
+        o = model.apply(
+            {"params": p, "constants": variables["constants"]},
+            x, coords, valid,
+        )
+        return (o ** 2).mean()
+
+    g = jax.grad(loss)(variables["params"])
+    assert all(
+        bool(jnp.isfinite(l).all()) for l in jax.tree_util.tree_leaves(g)
+    )
+
+
 @pytest.mark.parametrize("variant", [True, "coords"])
 def test_model_static_keys_forward_and_grad(variant):
     from hept_tpu.models import HeptTransformer, TransformerConfig
