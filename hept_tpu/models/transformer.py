@@ -101,6 +101,15 @@ class TransformerConfig:
     # (ROADMAP round-3); the AND bin restores 2-D locality the same way the
     # reference's region AND codes do.
     static_and_bins: int = 0
+    # With static_keys: build the once-per-step plan with this many OR
+    # rounds (multiple of n_hashes; 0 = n_hashes) and give each layer a
+    # cyclic n_hashes-round subset. The reference's per-layer re-hash gives
+    # a 4-layer stack 4·n_hashes DISTINCT rounds — true-pair co-bucketing
+    # union 0.988 at 60k vs 0.879 for 3 shared static rounds
+    # (scripts/probe_cobucket.py); static_rounds=2·n_hashes recovers 0.968
+    # for one extra plan sort instead of per-layer sorts. Incompatible with
+    # canon_residual (no layer subset can keep the free canonical round).
+    static_rounds: int = 0
     # TPU fast mode (requires static_keys): keep the residual stream in
     # round-0's sorted order — the CANONICAL order — for the whole layer
     # stack. Round 0 then needs no per-layer x-gather and no output unsort
@@ -499,6 +508,7 @@ class HeptTransformer(nn.Module):
         h = TorchLinear(cfg.h_dim, name="feat_enc_1")(h)
 
         plan = None
+        plan_stacked = False  # (n_layers, n_hashes, ...) per-layer sub-plans
         if cfg.attn_type == "hept" and cfg.static_keys:
             # static_keys fast mode: hash ONCE per step (encoder output or
             # coords only) and let every layer reuse the permutations —
@@ -509,24 +519,50 @@ class HeptTransformer(nn.Module):
                 "static_keys requires share_heads + qkv_post_sort"
             from ..ops.bucket_attn import static_bucket_plan, static_hash
 
+            total_rounds = cfg.static_rounds or cfg.n_hashes
+            if cfg.static_rounds:
+                if cfg.static_rounds % cfg.n_hashes:
+                    raise ValueError(
+                        "static_rounds must be a multiple of n_hashes"
+                    )
+                if cfg.canon_residual and cfg.static_rounds != cfg.n_hashes:
+                    raise ValueError(
+                        "static_rounds > n_hashes is incompatible with "
+                        "canon_residual (no shared free canonical round)"
+                    )
             alpha_s = self.variable(
                 "constants",
                 "static_alpha",
                 lambda: e2lsh_init(
                     self.make_rng("params"),
                     2 if cfg.static_and_bins else 1,
-                    cfg.h_dim + cfg.coords_dim, cfg.n_hashes,
+                    cfg.h_dim + cfg.coords_dim, total_rounds,
                 ),
             ).value
             variant = ("coords" if cfg.static_keys == "coords" else "x0")
             scale = float(np.sqrt(2.0 * cfg.num_w_per_dist))
             hashed = static_hash(h.T, coords.T, alpha_s, scale, variant,
                                  and_bins=cfg.static_and_bins)
+            codes0 = codes[:, 0]  # (n_hashes, n) AND codes, head 0
+            if total_rounds != cfg.n_hashes:
+                codes0 = jnp.tile(codes0, (total_rounds // cfg.n_hashes, 1))
             plan = static_bucket_plan(
-                hashed, codes[:, 0], invalid, coords.T,
+                hashed, codes0, invalid, coords.T,
                 sort_events=cfg.sort_events, sort_pack=cfg.sort_pack,
                 sort_ops=cfg.sort_ops, canonical=cfg.canon_residual,
             )
+            if total_rounds != cfg.n_hashes:
+                # per-layer cyclic n_hashes-round subsets of the big plan:
+                # layer l rides rounds [(l·nh + j) % total] — the scan then
+                # consumes the plan as a scanned input (axis 0), one 3-round
+                # sub-plan per step.
+                nh = cfg.n_hashes
+                idx = jnp.asarray(
+                    [[(l * nh + j) % total_rounds for j in range(nh)]
+                     for l in range(cfg.n_layers)]
+                )
+                plan = tuple(a[idx] for a in plan)
+                plan_stacked = True
             if cfg.canon_residual:
                 # enter canonical (round-0 sorted) order: the residual
                 # stream, pad mask — and everything row-local after — ride
@@ -545,7 +581,10 @@ class HeptTransformer(nn.Module):
                 _ScanBody,
                 variable_axes={"params": 0, "constants": 0},
                 split_rngs={"params": True, "dropout": True},
-                in_axes=(nn.broadcast,) * 7,  # coords..edge_mask, plan
+                # coords..edge_mask broadcast; plan broadcast unless it is
+                # per-layer sub-plans (static_rounds), then scanned on axis 0
+                in_axes=(nn.broadcast,) * 6
+                + ((0,) if plan_stacked else (nn.broadcast,)),
                 out_axes=0,
                 length=cfg.n_layers,
             )
@@ -569,10 +608,11 @@ class HeptTransformer(nn.Module):
 
             all_layers = [h]
             for i in range(cfg.n_layers):
+                plan_i = (tuple(a[i] for a in plan) if plan_stacked else plan)
                 out = block_cls(cfg, name=f"block_{i}")(
                     h, coords=coords, codes=codes, invalid=invalid, valid=valid,
                     edges=edges, edge_mask=edge_mask, deterministic=deterministic,
-                    plan=plan,
+                    plan=plan_i,
                 )
                 if cfg.attn_type == "flatformer":
                     # concat all 4 inner-layer outputs (transformer.py:134-136;

@@ -32,7 +32,8 @@ for spec in specs:
             n_events=8, n_points=n, seed=0, avg_track_size=8,
             pairs_per_point=16,
         )
-    # tag grammar: base | <variant>[bN][+canon], e.g. x0, x0b8, coordsb4+canon
+    # tag grammar: base | <variant>[rN][bM][+canon],
+    # e.g. x0, x0b8, x0r6, x0r6b4, coordsb4+canon
     extra = {}
     t = tag
     if t.endswith("+canon"):
@@ -42,6 +43,9 @@ for spec in specs:
         if "b" in t and t.rsplit("b", 1)[1].isdigit():
             t, bins = t.rsplit("b", 1)
             extra["static_and_bins"] = int(bins)
+        if "r" in t and t.rsplit("r", 1)[1].isdigit():
+            t, rounds = t.rsplit("r", 1)
+            extra["static_rounds"] = int(rounds)
         extra["static_keys"] = t
     cfg = ExperimentConfig(
         task="tracking",

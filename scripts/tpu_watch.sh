@@ -1,0 +1,21 @@
+#!/bin/bash
+# Poll the axon TPU tunnel; when it answers, run the queued 60k demo arms
+# (r2stack control, then the static_and_bins fix candidates) sequentially.
+# Usage: nohup bash scripts/tpu_watch.sh > /tmp/tpu_watch.log 2>&1 &
+cd /root/repo
+while true; do
+  if timeout 120 python -c "import jax; print(jax.devices())" >/dev/null 2>&1; then
+    echo "[$(date +%H:%M:%S)] TPU up — starting demo queue"
+    for arm in r2stack fullb4 fullb8; do
+      echo "[$(date +%H:%M:%S)] arm $arm"
+      timeout 3000 python scripts/train_60k_demo.py "$arm" \
+        > "/tmp/demo60k_${arm}.log" 2>&1
+      echo "[$(date +%H:%M:%S)] arm $arm rc=$? tail:"
+      tail -n 2 "/tmp/demo60k_${arm}.log"
+    done
+    echo "[$(date +%H:%M:%S)] queue done"
+    exit 0
+  fi
+  echo "[$(date +%H:%M:%S)] TPU still down"
+  sleep 240
+done

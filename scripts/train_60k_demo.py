@@ -32,6 +32,11 @@ VARIANTS = {
     "fullb8": dict(static_keys="x0", canon_residual=True, static_and_bins=8),
     "coordsb4": dict(static_keys="coords", canon_residual=True,
                      static_and_bins=4),
+    # 6-round static plan, layers cycle 3-round subsets — restores the
+    # multi-layer round-union coverage (probe_cobucket.py: 0.968 vs 0.879)
+    "r6": dict(static_keys="x0", static_rounds=6),
+    "r6b4": dict(static_keys="x0", static_rounds=6, static_and_bins=4),
+    "r12": dict(static_keys="x0", static_rounds=12),
 }
 variant = sys.argv[1] if len(sys.argv) > 1 else "full"
 lr = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-2

@@ -226,6 +226,120 @@ def test_model_static_and_bins_forward_and_grad():
     )
 
 
+def test_model_static_rounds_scan_matches_loop():
+    """static_rounds: the scan path consumes per-layer sub-plans as a
+    scanned input (axis 0), the loop path slices plan[i] — both must
+    produce identical outputs for the same (restacked) params."""
+    import dataclasses
+
+    from hept_tpu.models import HeptTransformer, TransformerConfig
+    from hept_tpu.models.transformer import stack_layer_params
+
+    rng = np.random.default_rng(23)
+    n = 600
+    cfg = TransformerConfig(
+        in_dim=5, coords_dim=3, h_dim=8, num_heads=2, n_layers=2,
+        block_size=50, n_hashes=2, num_regions=20, num_w_per_dist=4,
+        padding_mode="replicate", scan_layers=False, qkv_post_sort=True,
+        shared_sort=True, share_heads=True, static_keys="x0",
+        static_rounds=4,
+    )
+    model = HeptTransformer(cfg)
+    x = jnp.asarray(rng.normal(size=(n, 5)).astype(np.float32))
+    coords = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    valid = jnp.asarray(np.ones(n, bool))
+    variables = model.init(jax.random.PRNGKey(0), x, coords, valid)
+    assert variables["constants"]["static_alpha"].shape[-1] == 4
+    out_loop = model.apply(variables, x, coords, valid)
+    assert bool(jnp.isfinite(out_loop).all())
+
+    scan_model = HeptTransformer(dataclasses.replace(cfg, scan_layers=True))
+    scan_vars = {
+        "params": stack_layer_params(variables["params"], cfg.n_layers),
+        "constants": stack_layer_params(variables["constants"], cfg.n_layers),
+    }
+    out_scan = scan_model.apply(scan_vars, x, coords, valid)
+    np.testing.assert_allclose(
+        np.asarray(out_scan), np.asarray(out_loop), rtol=1e-6, atol=1e-6
+    )
+
+    def loss(p):
+        o = scan_model.apply(
+            {"params": p, "constants": scan_vars["constants"]},
+            x, coords, valid,
+        )
+        return (o ** 2).mean()
+
+    g = jax.grad(loss)(scan_vars["params"])
+    assert all(
+        bool(jnp.isfinite(l).all()) for l in jax.tree_util.tree_leaves(g)
+    )
+
+
+def test_static_rounds_layers_get_distinct_buckets():
+    """With static_rounds > n_hashes, consecutive layers must attend over
+    DIFFERENT bucket grids (the whole point: multi-layer round-union)."""
+    from hept_tpu.models import HeptTransformer, TransformerConfig
+
+    rng = np.random.default_rng(29)
+    n = 600
+    cfg = TransformerConfig(
+        in_dim=5, coords_dim=3, h_dim=8, num_heads=2, n_layers=2,
+        block_size=50, n_hashes=2, num_regions=20, num_w_per_dist=4,
+        padding_mode="replicate", scan_layers=False, qkv_post_sort=True,
+        shared_sort=True, share_heads=True, static_keys="x0",
+        static_rounds=4,
+    )
+    model = HeptTransformer(cfg)
+    x = jnp.asarray(rng.normal(size=(n, 5)).astype(np.float32))
+    coords = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    valid = jnp.asarray(np.ones(n, bool))
+    variables = model.init(jax.random.PRNGKey(0), x, coords, valid)
+
+    # rebuild the plan exactly as the model does and check the sub-plan
+    # slicing: layer 0 rides rounds (0, 1), layer 1 rides rounds (2, 3)
+    from hept_tpu.models.transformer import _prepare_event
+    from hept_tpu.ops.bucket_attn import static_bucket_plan, static_hash
+
+    regions = variables["constants"]["regions"]
+    xp, cp, codes, invalid, _, _ = _prepare_event(
+        x, coords, valid, regions, cfg
+    )
+    p = variables["params"]
+    henc = jnp.maximum(
+        xp @ p["feat_enc_0"]["kernel"] + p["feat_enc_0"]["bias"], 0.0
+    ) @ p["feat_enc_1"]["kernel"] + p["feat_enc_1"]["bias"]
+    alpha = variables["constants"]["static_alpha"]
+    scale = float(np.sqrt(2.0 * cfg.num_w_per_dist))
+    hashed = static_hash(henc.T, cp.T, alpha, scale, "x0", and_bins=0)
+    assert hashed.shape[0] == 4
+    codes0 = jnp.tile(codes[:, 0], (2, 1))
+    src, inv, _ = static_bucket_plan(hashed, codes0, invalid, cp.T)
+    # the 4 rounds' permutations must be pairwise distinct
+    perms = np.asarray(src[:, 0])
+    for a in range(4):
+        for b in range(a + 1, 4):
+            assert not np.array_equal(perms[a], perms[b])
+
+
+def test_model_static_rounds_rejects_canon():
+    from hept_tpu.models import HeptTransformer, TransformerConfig
+
+    cfg = TransformerConfig(
+        in_dim=5, coords_dim=3, h_dim=8, num_heads=2, n_layers=2,
+        block_size=50, n_hashes=2, num_regions=20, num_w_per_dist=4,
+        padding_mode="replicate", qkv_post_sort=True, shared_sort=True,
+        share_heads=True, static_keys="x0", static_rounds=4,
+        canon_residual=True,
+    )
+    model = HeptTransformer(cfg)
+    x = jnp.zeros((100, 5))
+    coords = jnp.zeros((100, 3))
+    valid = jnp.ones(100, bool)
+    with pytest.raises(ValueError, match="canon_residual"):
+        model.init(jax.random.PRNGKey(0), x, coords, valid)
+
+
 @pytest.mark.parametrize("variant", [True, "coords"])
 def test_model_static_keys_forward_and_grad(variant):
     from hept_tpu.models import HeptTransformer, TransformerConfig
