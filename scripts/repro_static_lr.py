@@ -32,8 +32,8 @@ for spec in specs:
             n_events=8, n_points=n, seed=0, avg_track_size=8,
             pairs_per_point=16,
         )
-    # tag grammar: base | <variant>[rN][bM][+canon],
-    # e.g. x0, x0b8, x0r6, x0r6b4, coordsb4+canon
+    # tag grammar: base | <variant>[hK][rN][bM][+canon],
+    # e.g. x0, x0b8, x0r6, x0r6b4, x0h2r8, coordsb4+canon
     extra = {}
     t = tag
     if t.endswith("+canon"):
@@ -46,16 +46,22 @@ for spec in specs:
         if "r" in t and t.rsplit("r", 1)[1].isdigit():
             t, rounds = t.rsplit("r", 1)
             extra["static_rounds"] = int(rounds)
+        if "h" in t and t.rsplit("h", 1)[1].isdigit():
+            t, nh = t.rsplit("h", 1)
+            extra["n_hashes"] = int(nh)
         extra["static_keys"] = t
     cfg = ExperimentConfig(
         task="tracking",
-        model_kwargs=dict(
-            block_size=100, n_hashes=3, num_regions=150, num_heads=8,
-            h_dim=24, n_layers=4, num_w_per_dist=10, sort_pack=True,
-            sort_ops=8, qkv_post_sort=True, scan_layers=True,
-            unsort_pack=True, shared_sort=True, share_heads=True,
-            kernel_bf16=True, **extra,
-        ),
+        model_kwargs={
+            **dict(
+                block_size=100, n_hashes=3, num_regions=150, num_heads=8,
+                h_dim=24, n_layers=4, num_w_per_dist=10, sort_pack=True,
+                sort_ops=8, qkv_post_sort=True, scan_layers=True,
+                unsort_pack=True, shared_sort=True, share_heads=True,
+                kernel_bf16=True,
+            ),
+            **extra,  # may override base keys (e.g. n_hashes via hK)
+        },
         optimizer_kwargs={"lr": lr},
         num_epochs=10,
         batch_size=1,

@@ -37,6 +37,9 @@ VARIANTS = {
     "r6": dict(static_keys="x0", static_rounds=6),
     "r6b4": dict(static_keys="x0", static_rounds=6, static_and_bins=4),
     "r12": dict(static_keys="x0", static_rounds=12),
+    # per-layer OR width 2 with 8-round union: kernel+unsort cost ∝
+    # n_hashes, coverage rides the cross-layer union (0.98 at 8 rounds)
+    "nh2r8": dict(static_keys="x0", static_rounds=8, n_hashes=2),
 }
 variant = sys.argv[1] if len(sys.argv) > 1 else "full"
 lr = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-2
@@ -46,13 +49,16 @@ ds = make_synthetic_tracking(n_events=10, n_points=60_000, seed=0,
 
 cfg = ExperimentConfig(
     task="tracking",
-    model_kwargs=dict(
-        block_size=100, n_hashes=3, num_regions=150, num_heads=8,
-        h_dim=24, n_layers=4, num_w_per_dist=10, sort_pack=True,
-        sort_ops=8, qkv_post_sort=True, scan_layers=True,
-        unsort_pack=True, shared_sort=True, share_heads=True,
-        kernel_bf16=True, **VARIANTS[variant],
-    ),
+    model_kwargs={
+        **dict(
+            block_size=100, n_hashes=3, num_regions=150, num_heads=8,
+            h_dim=24, n_layers=4, num_w_per_dist=10, sort_pack=True,
+            sort_ops=8, qkv_post_sort=True, scan_layers=True,
+            unsort_pack=True, shared_sort=True, share_heads=True,
+            kernel_bf16=True,
+        ),
+        **VARIANTS[variant],  # may override base keys (e.g. n_hashes)
+    },
     optimizer_kwargs={"lr": lr},
     lr_scheduler_name="step",
     lr_scheduler_kwargs={"step_size": 500, "gamma": 0.5},
