@@ -40,6 +40,9 @@ VARIANTS = {
     # per-layer OR width 2 with 8-round union: kernel+unsort cost ∝
     # n_hashes, coverage rides the cross-layer union (0.98 at 8 rounds)
     "nh2r8": dict(static_keys="x0", static_rounds=8, n_hashes=2),
+    # isolate kernel_bf16 x static interaction (full stack, f32 kernels)
+    "fullnokb": dict(static_keys="x0", canon_residual=True,
+                     kernel_bf16=False),
 }
 variant = sys.argv[1] if len(sys.argv) > 1 else "full"
 lr = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-2
