@@ -520,15 +520,21 @@ class HeptTransformer(nn.Module):
             from ..ops.bucket_attn import static_bucket_plan, static_hash
 
             total_rounds = cfg.static_rounds or cfg.n_hashes
-            if cfg.static_rounds:
-                if cfg.static_rounds % cfg.n_hashes:
+            nh = cfg.n_hashes
+            if cfg.static_rounds and cfg.static_rounds != nh:
+                if cfg.canon_residual:
+                    # pinned-round-0 scheme: every layer's subset is
+                    # [0, <nh-1 cycling rounds from 1..total-1>] — the
+                    # canonical round stays shared (and free: no gather, no
+                    # unsort) in every layer, diversity rides the rest.
+                    if nh < 2 or (cfg.static_rounds - 1) % (nh - 1):
+                        raise ValueError(
+                            "with canon_residual, static_rounds must be "
+                            "1 + k*(n_hashes-1)"
+                        )
+                elif cfg.static_rounds % nh:
                     raise ValueError(
                         "static_rounds must be a multiple of n_hashes"
-                    )
-                if cfg.canon_residual and cfg.static_rounds != cfg.n_hashes:
-                    raise ValueError(
-                        "static_rounds > n_hashes is incompatible with "
-                        "canon_residual (no shared free canonical round)"
                     )
             alpha_s = self.variable(
                 "constants",
@@ -544,33 +550,48 @@ class HeptTransformer(nn.Module):
             hashed = static_hash(h.T, coords.T, alpha_s, scale, variant,
                                  and_bins=cfg.static_and_bins)
             codes0 = codes[:, 0]  # (n_hashes, n) AND codes, head 0
-            if total_rounds != cfg.n_hashes:
-                codes0 = jnp.tile(codes0, (total_rounds // cfg.n_hashes, 1))
+            if total_rounds != nh:
+                # per-round AND-code rows for the extended plan (cyclic;
+                # pinned scheme keeps row 0 for the canonical round)
+                if cfg.canon_residual:
+                    rows = [0] + [1 + t % (nh - 1)
+                                  for t in range(total_rounds - 1)]
+                else:
+                    rows = [t % nh for t in range(total_rounds)]
+                codes0 = codes0[jnp.asarray(rows)]
             plan = static_bucket_plan(
                 hashed, codes0, invalid, coords.T,
                 sort_events=cfg.sort_events, sort_pack=cfg.sort_pack,
                 sort_ops=cfg.sort_ops, canonical=cfg.canon_residual,
             )
-            if total_rounds != cfg.n_hashes:
-                # per-layer cyclic n_hashes-round subsets of the big plan:
-                # layer l rides rounds [(l·nh + j) % total] — the scan then
-                # consumes the plan as a scanned input (axis 0), one 3-round
-                # sub-plan per step.
-                nh = cfg.n_hashes
-                idx = jnp.asarray(
-                    [[(l * nh + j) % total_rounds for j in range(nh)]
-                     for l in range(cfg.n_layers)]
-                )
+            src0, inv0 = plan[0][:1], plan[1][:1]  # global round 0
+            if total_rounds != nh:
+                # per-layer n_hashes-round subsets of the big plan — the
+                # scan consumes the plan as a scanned input (axis 0), one
+                # sub-plan per step. Non-canon: cyclic blocks
+                # [(l·nh + j) % total]. Canon: pinned round 0 + cycling
+                # rest, so the canonical round stays first (identity f)
+                # in every layer's sub-plan.
+                if cfg.canon_residual:
+                    idx = jnp.asarray(
+                        [[0] + [1 + (l * (nh - 1) + j) % (total_rounds - 1)
+                                for j in range(nh - 1)]
+                         for l in range(cfg.n_layers)]
+                    )
+                else:
+                    idx = jnp.asarray(
+                        [[(l * nh + j) % total_rounds for j in range(nh)]
+                         for l in range(cfg.n_layers)]
+                    )
                 plan = tuple(a[idx] for a in plan)
                 plan_stacked = True
             if cfg.canon_residual:
                 # enter canonical (round-0 sorted) order: the residual
                 # stream, pad mask — and everything row-local after — ride
                 # in this order; one gather back after the head.
-                src0, inv0 = plan[0][:1], plan[1][:1]
                 h = _permute_rows(h, src0, inv0, cfg.sort_events)
                 invalid = jnp.take_along_axis(
-                    invalid.reshape(cfg.sort_events, -1), plan[0][0], axis=1
+                    invalid.reshape(cfg.sort_events, -1), src0[0], axis=1
                 ).reshape(-1)
         elif cfg.canon_residual:
             raise ValueError("canon_residual requires static_keys")
@@ -633,8 +654,8 @@ class HeptTransformer(nn.Module):
             out = nn.sigmoid(out)
 
         if cfg.canon_residual and plan is not None:
-            # leave canonical order: orig[i] = canon[inv0[i]]
-            src0, inv0 = plan[0][:1], plan[1][:1]
+            # leave canonical order: orig[i] = canon[inv0[i]] (src0/inv0 are
+            # the GLOBAL round-0 maps captured before any sub-plan slicing)
             out = _permute_rows(out, inv0, src0, cfg.sort_events)
 
         # Real rows occupy their original slots in both padding modes

@@ -6,7 +6,7 @@ cd /root/repo
 while true; do
   if timeout 120 python -c "import jax; print(jax.devices())" >/dev/null 2>&1; then
     echo "[$(date +%H:%M:%S)] TPU up — starting demo queue"
-    for arm in r2stack r6 nh2r8 fullb4 r6b4 fullb8 r12; do
+    for arm in r2stack r9canon r6 nh2r8 r9canonb4 fullb4 r6b4; do
       echo "[$(date +%H:%M:%S)] arm $arm"
       timeout 3000 python scripts/train_60k_demo.py "$arm" \
         > "/tmp/demo60k_${arm}.log" 2>&1

@@ -43,6 +43,12 @@ VARIANTS = {
     # isolate kernel_bf16 x static interaction (full stack, f32 kernels)
     "fullnokb": dict(static_keys="x0", canon_residual=True,
                      kernel_bf16=False),
+    # pinned-round-0 canon + 9-round union: every layer keeps the free
+    # canonical round, rounds 1-8 cycle 2-per-layer — canon cost with
+    # near-reference coverage (probe: 9-round union 0.984)
+    "r9canon": dict(static_keys="x0", canon_residual=True, static_rounds=9),
+    "r9canonb4": dict(static_keys="x0", canon_residual=True,
+                      static_rounds=9, static_and_bins=4),
 }
 variant = sys.argv[1] if len(sys.argv) > 1 else "full"
 lr = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-2

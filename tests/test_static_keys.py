@@ -322,14 +322,16 @@ def test_static_rounds_layers_get_distinct_buckets():
             assert not np.array_equal(perms[a], perms[b])
 
 
-def test_model_static_rounds_rejects_canon():
+def test_model_static_rounds_rejects_bad_canon_count():
+    """canon + static_rounds needs total = 1 + k*(n_hashes-1) (pinned
+    round 0); n_hashes=3 with static_rounds=6 violates it."""
     from hept_tpu.models import HeptTransformer, TransformerConfig
 
     cfg = TransformerConfig(
         in_dim=5, coords_dim=3, h_dim=8, num_heads=2, n_layers=2,
-        block_size=50, n_hashes=2, num_regions=20, num_w_per_dist=4,
+        block_size=50, n_hashes=3, num_regions=20, num_w_per_dist=4,
         padding_mode="replicate", qkv_post_sort=True, shared_sort=True,
-        share_heads=True, static_keys="x0", static_rounds=4,
+        share_heads=True, static_keys="x0", static_rounds=6,
         canon_residual=True,
     )
     model = HeptTransformer(cfg)
@@ -338,6 +340,56 @@ def test_model_static_rounds_rejects_canon():
     valid = jnp.ones(100, bool)
     with pytest.raises(ValueError, match="canon_residual"):
         model.init(jax.random.PRNGKey(0), x, coords, valid)
+
+
+def test_model_static_rounds_canon_pinned_scan_matches_loop():
+    """canon + static_rounds pinned-round-0 scheme: layer subsets
+    [0, 1+cycling] keep the canonical round free in every layer; scan and
+    loop paths must agree, and the output must be finite with gradients."""
+    import dataclasses
+
+    from hept_tpu.models import HeptTransformer, TransformerConfig
+    from hept_tpu.models.transformer import stack_layer_params
+
+    rng = np.random.default_rng(31)
+    n = 600
+    cfg = TransformerConfig(
+        in_dim=5, coords_dim=3, h_dim=8, num_heads=2, n_layers=2,
+        block_size=50, n_hashes=2, num_regions=20, num_w_per_dist=4,
+        padding_mode="replicate", scan_layers=False, qkv_post_sort=True,
+        shared_sort=True, share_heads=True, static_keys="x0",
+        static_rounds=3, canon_residual=True,
+    )
+    model = HeptTransformer(cfg)
+    x = jnp.asarray(rng.normal(size=(n, 5)).astype(np.float32))
+    coords = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    valid = jnp.asarray(np.ones(n, bool))
+    variables = model.init(jax.random.PRNGKey(0), x, coords, valid)
+    assert variables["constants"]["static_alpha"].shape[-1] == 3
+    out_loop = model.apply(variables, x, coords, valid)
+    assert bool(jnp.isfinite(out_loop).all())
+
+    scan_model = HeptTransformer(dataclasses.replace(cfg, scan_layers=True))
+    scan_vars = {
+        "params": stack_layer_params(variables["params"], cfg.n_layers),
+        "constants": stack_layer_params(variables["constants"], cfg.n_layers),
+    }
+    out_scan = scan_model.apply(scan_vars, x, coords, valid)
+    np.testing.assert_allclose(
+        np.asarray(out_scan), np.asarray(out_loop), rtol=1e-6, atol=1e-6
+    )
+
+    def loss(p):
+        o = model.apply(
+            {"params": p, "constants": variables["constants"]},
+            x, coords, valid,
+        )
+        return (o ** 2).mean()
+
+    g = jax.grad(loss)(variables["params"])
+    assert all(
+        bool(jnp.isfinite(l).all()) for l in jax.tree_util.tree_leaves(g)
+    )
 
 
 @pytest.mark.parametrize("variant", [True, "coords"])
