@@ -1,6 +1,6 @@
 #!/bin/bash
 # Poll the axon TPU tunnel; when it answers, run the queued 60k demo arms
-# (r2stack control, then the static_and_bins fix candidates) sequentially.
+# (control + static_rounds fix candidates), then per-variant step timers.
 # Usage: nohup bash scripts/tpu_watch.sh > /tmp/tpu_watch.log 2>&1 &
 cd /root/repo
 while true; do
@@ -10,8 +10,14 @@ while true; do
       echo "[$(date +%H:%M:%S)] arm $arm"
       timeout 3000 python scripts/train_60k_demo.py "$arm" \
         > "/tmp/demo60k_${arm}.log" 2>&1
-      echo "[$(date +%H:%M:%S)] arm $arm rc=$? tail:"
-      tail -n 2 "/tmp/demo60k_${arm}.log"
+      echo "[$(date +%H:%M:%S)] arm $arm rc=$? result:"
+      grep RESULT "/tmp/demo60k_${arm}.log" || tail -n 2 "/tmp/demo60k_${arm}.log"
+    done
+    echo "[$(date +%H:%M:%S)] demo queue done; step timers"
+    for arm in full r9canon r6 nh2r8 r2stack; do
+      timeout 1500 python scripts/time_step_variant.py "$arm" \
+        > "/tmp/step_${arm}.log" 2>&1
+      grep STEP_MS "/tmp/step_${arm}.log" || echo "arm $arm timer failed"
     done
     echo "[$(date +%H:%M:%S)] queue done"
     exit 0
