@@ -49,12 +49,19 @@ VARIANTS = {
     "r9canon": dict(static_keys="x0", canon_residual=True, static_rounds=9),
     "r9canonb4": dict(static_keys="x0", canon_residual=True,
                       static_rounds=9, static_and_bins=4),
+    # isolate the Pallas hybrid backward: full static stack on pure-XLA
+    # attention (the CPU repro converges on xla; TPU diverges on hybrid)
+    "fullxla": dict(static_keys="x0", canon_residual=True,
+                    _attn_impl="xla"),
 }
 variant = sys.argv[1] if len(sys.argv) > 1 else "full"
 lr = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-2
 
 ds = make_synthetic_tracking(n_events=10, n_points=60_000, seed=0,
                              avg_track_size=8, pairs_per_point=16)
+
+vk = dict(VARIANTS[variant])
+attn_impl = vk.pop("_attn_impl", "hybrid")  # cfg-level key, not a model kwarg
 
 cfg = ExperimentConfig(
     task="tracking",
@@ -66,7 +73,7 @@ cfg = ExperimentConfig(
             unsort_pack=True, shared_sort=True, share_heads=True,
             kernel_bf16=True,
         ),
-        **VARIANTS[variant],  # may override base keys (e.g. n_hashes)
+        **vk,  # may override base keys (e.g. n_hashes)
     },
     optimizer_kwargs={"lr": lr},
     lr_scheduler_name="step",
@@ -78,7 +85,7 @@ cfg = ExperimentConfig(
     main_metric="accuracy@0.9",
     mode="max",
     log_dir="/tmp/train60k",
-    attn_impl="hybrid",
+    attn_impl=attn_impl,
 )
 res = run_one_seed(cfg, dataset=ds)
 print(f"RESULT tracking-60k [{variant} lr={lr:g}]: acc@0.9={res['accuracy@0.9']:.4f} "
