@@ -26,6 +26,13 @@ VARIANTS = {
     "r2stack": dict(),
     "noshare": dict(share_heads=False),  # round-2 stack + kernel_bf16
     "nokb": dict(kernel_bf16=False),  # share_heads without bf16 kernels
+    # exact round-2 demo stack (9ba387c reached 0.9552 at 60k) on CURRENT
+    # code — regression control: the base path was refactored since (static
+    # plan plumbing, chunked sorts, stacked flat batching)
+    "r2known": dict(share_heads=False, kernel_bf16=False),
+    # r2stack on pure-XLA attention: isolates the Pallas hybrid backward
+    # without the static stack
+    "r2xla": dict(_attn_impl="xla"),
     # static hash with an AND-composed second quantized direction — the
     # candidate fix for the 60k static divergence (bucket locality)
     "fullb4": dict(static_keys="x0", canon_residual=True, static_and_bins=4),
