@@ -69,14 +69,21 @@ def make_optimizer(
     schedule=None,
     weight_decay: float = 0.0,
     plateau: bool = False,
+    clip_norm: float = 0.0,
 ) -> optax.GradientTransformation:
     """Build the optax chain. When `plateau=True`, an
     `optax.contrib.reduce_on_plateau`-style scale is applied via
-    `inject_hyperparams` so the trainer can set `opt_state.hyperparams`."""
+    `inject_hyperparams` so the trainer can set `opt_state.hyperparams`.
+    `clip_norm > 0` prepends global-norm gradient clipping (no reference
+    counterpart — a stabilizer for the lr=1e-2 tracking recipe whose loss
+    landscape turned out to have a collapse attractor at 60k; see
+    ROADMAP round-3 divergence investigation)."""
     sched = schedule if schedule is not None else lr
+    pre = (optax.clip_by_global_norm(clip_norm),) if clip_norm else ()
     if name == "adam":
         return optax.inject_hyperparams(
             lambda learning_rate, plateau_scale: optax.chain(
+                *pre,
                 optax.scale_by_adam(),
                 optax.scale_by_learning_rate(learning_rate),
                 optax.scale(plateau_scale),
@@ -85,6 +92,7 @@ def make_optimizer(
     if name == "adamw":
         return optax.inject_hyperparams(
             lambda learning_rate, plateau_scale: optax.chain(
+                *pre,
                 optax.scale_by_adam(),
                 optax.add_decayed_weights(weight_decay),
                 optax.scale_by_learning_rate(learning_rate),

@@ -331,7 +331,11 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
         **{k: v for k, v in cfg.lr_scheduler_kwargs.items() if k in
            ("gamma", "step_size", "num_warmup_epochs", "eta_min_ratio")},
     )
-    tx = make_optimizer(cfg.optimizer_name, schedule=schedule)
+    tx = make_optimizer(
+        cfg.optimizer_name, schedule=schedule,
+        weight_decay=cfg.optimizer_kwargs.get("weight_decay", 0.0),
+        clip_norm=cfg.optimizer_kwargs.get("clip_norm", 0.0),
+    )
     plateau = None
     if cfg.lr_scheduler_name == "impatient":
         plateau = PlateauState(

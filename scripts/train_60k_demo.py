@@ -60,6 +60,14 @@ VARIANTS = {
     # attention (the CPU repro converges on xla; TPU diverges on hybrid)
     "fullxla": dict(static_keys="x0", canon_residual=True,
                     _attn_impl="xla"),
+    # gradient-clipping stabilizer arms: the 60k collapse (incl. the r2stack
+    # control) looks like an lr=1e-2 instability — test whether global-norm
+    # clipping alone restores convergence on each stack
+    "r2clip": dict(_clip=1.0),
+    "fullclip": dict(static_keys="x0", canon_residual=True, _clip=1.0),
+    "r9clip": dict(static_keys="x0", canon_residual=True, static_rounds=9,
+                   _clip=1.0),
+    "r2lr3": dict(_lr=3e-3),  # lower-lr control on the r2stack
 }
 variant = sys.argv[1] if len(sys.argv) > 1 else "full"
 lr = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-2
@@ -69,6 +77,8 @@ ds = make_synthetic_tracking(n_events=10, n_points=60_000, seed=0,
 
 vk = dict(VARIANTS[variant])
 attn_impl = vk.pop("_attn_impl", "hybrid")  # cfg-level key, not a model kwarg
+clip_norm = vk.pop("_clip", 0.0)
+lr = vk.pop("_lr", lr)
 
 cfg = ExperimentConfig(
     task="tracking",
@@ -82,7 +92,7 @@ cfg = ExperimentConfig(
         ),
         **vk,  # may override base keys (e.g. n_hashes)
     },
-    optimizer_kwargs={"lr": lr},
+    optimizer_kwargs={"lr": lr, "clip_norm": clip_norm},
     lr_scheduler_name="step",
     lr_scheduler_kwargs={"step_size": 500, "gamma": 0.5},
     num_epochs=25,
