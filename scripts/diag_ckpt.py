@@ -16,6 +16,9 @@ sys.path.insert(0, "/root/repo")
 from pathlib import Path
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")  # env var alone is overridden by
+# the sitecustomize axon registration; keep diagnostics off the TPU
 import numpy as np
 
 run_dir = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/train60k")
@@ -50,8 +53,21 @@ def tree_norms(tree, prefix=""):
     return rows
 
 
+def restore_numpy(step):
+    """Restore to host numpy regardless of the save-time device shardings
+    (checkpoints were written on the TPU; diagnostics run on CPU)."""
+    ckptr = ocp.PyTreeCheckpointer()
+    path = ckpt_root / str(step) / "default"
+    meta = ckptr.metadata(path)
+    tree = meta.item_metadata  # ArrayMetadata leaves, full tree structure
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree
+    )
+    return ckptr.restore(path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
+
+
 for step in steps:
-    restored = mgr.restore(step, args=ocp.args.StandardRestore())
+    restored = restore_numpy(step)
     params = restored["params"] if "params" in restored else restored.params
     print(f"\n== step {step} ==")
     try:
