@@ -103,6 +103,10 @@ class HeptAttention(nn.Module):
     # and `plan` is the 5-tuple from static_bucket_plan(canonical=True).
     # See hept_attention_core_xcols.
     canon: bool = False
+    # Per-bucket centering of the RPE columns before any bf16 cast — exact
+    # in f32 (RBF logits are shift-invariant), rescues kernel_bf16/sort_pack
+    # precision at large sqrt_w. See hept_attention_core_xcols.
+    kernel_center: bool = False
 
     @nn.compact
     def __call__(self, query, key, value, *, coords, codes, w_rpe_weight,
@@ -151,6 +155,7 @@ class HeptAttention(nn.Module):
                 sort_events=self.sort_events,
                 kernel_bf16=self.kernel_bf16,
                 canon=self.canon,
+                kernel_center=self.kernel_center,
             )  # (h, d, n)
             out = out.reshape(h * d, n).T
             if self.head_axis is not None:

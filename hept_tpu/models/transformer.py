@@ -130,6 +130,20 @@ class TransformerConfig:
     # sort_pack anyway, bias terms ride double-bf16 rows in the Pallas
     # kernels. Convergence-validated divergence (PARITY.md).
     kernel_bf16: bool = False
+    # Center the RPE coordinate columns per bucket (common per-bucket mean
+    # subtracted from both q̂ and k̂ — the RBF logits
+    # q·k - ½|q|² - ½|k|² = -½|q̂-k̂|² are exactly shift-invariant, so this
+    # changes nothing in f32). Purpose: the rpe signal between bucket
+    # neighbours is sqrt_w·Δcoord = O(bucket diameter) while the stored
+    # values are sqrt_w·coord = O(sqrt_w·|coord|); bf16's 2⁻⁸ relative
+    # rounding on the RAW values drowns the local differences once training
+    # grows sqrt_w (measured: sqrt_w 9.9 → 18.6 within 24 steps at 60k,
+    # scripts/diag_ckpt.py), which is the precision wall behind the
+    # kernel_bf16/sort_pack 60k instability. Centering makes the stored
+    # magnitudes O(diameter) so bf16 rounding is harmless. With static_keys
+    # the plan also carries its sorted coords in f32 (transport rounding
+    # matters for the same reason).
+    kernel_center: bool = False
     num_classes: int = 1  # pileup head width
     # baseline-attention knobs (reference configs/*)
     pe_type: str = "none"  # none | learned | fixed
@@ -239,6 +253,7 @@ def _make_attention(cfg: TransformerConfig):
             sort_events=cfg.sort_events,
             kernel_bf16=cfg.kernel_bf16,
             canon=cfg.canon_residual,
+            kernel_center=cfg.kernel_center,
             **common,
         )
     if cfg.attn_type == "performer":
@@ -563,6 +578,7 @@ class HeptTransformer(nn.Module):
                 hashed, codes0, invalid, coords.T,
                 sort_events=cfg.sort_events, sort_pack=cfg.sort_pack,
                 sort_ops=cfg.sort_ops, canonical=cfg.canon_residual,
+                coords_f32=cfg.kernel_center,
             )
             src0, inv0 = plan[0][:1], plan[1][:1]  # global round 0
             if total_rounds != nh:

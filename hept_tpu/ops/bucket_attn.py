@@ -366,7 +366,7 @@ def static_hash(x0_cols: Array, coords_cols: Array, alpha: Array,
 
 
 @partial(jax.jit, static_argnames=("sort_events", "sort_pack", "sort_ops",
-                                   "canonical"))
+                                   "canonical", "coords_f32"))
 def static_bucket_plan(
     hashed: Array,
     codes0: Array,
@@ -377,6 +377,7 @@ def static_bucket_plan(
     sort_pack: bool = False,
     sort_ops: int = 1,
     canonical: bool = False,
+    coords_f32: bool = False,
 ):
     """Build the once-per-step bucket plan for `static_keys`.
 
@@ -418,9 +419,14 @@ def static_bucket_plan(
     coords_rows = jnp.moveaxis(
         jax.lax.stop_gradient(coords_cols).reshape(cd, n_ev, ne), 1, 0
     )  # (n_ev, cd, ne)
+    # coords_f32 (kernel_center): carry the sorted coords exactly — the RPE
+    # noise floor is set by the coord transport rounding (error
+    # sqrt_w·coord·2⁻⁸ vs signal sqrt_w·Δcoord), and the plan runs once per
+    # step so the f32 payload costs ~3 extra sort operands total.
+    eff_pack = False if coords_f32 else sort_pack
     (scoords,), (src,) = grouped_sort_carry(
         [key.reshape(c, n_ev, ne)], [coords_rows],
-        pack=sort_pack, n_ops=sort_ops, out_bf16=sort_pack,
+        pack=eff_pack, n_ops=sort_ops, out_bf16=eff_pack,
     )  # scoords (c, n_ev, cd, ne); src (c, n_ev, ne)
     iota = jnp.broadcast_to(
         jnp.arange(ne, dtype=jnp.uint32), (c * n_ev, ne)
@@ -443,7 +449,7 @@ def static_bucket_plan(
                                    "sort_ops", "unsort_pack", "hash_axis",
                                    "shared_sort", "share_heads",
                                    "fold_unsort", "sort_events",
-                                   "kernel_bf16", "canon"))
+                                   "kernel_bf16", "canon", "kernel_center"))
 def hept_attention_core_xcols(
     x_cols: Array,
     coords_cols: Array,
@@ -468,6 +474,7 @@ def hept_attention_core_xcols(
     sort_events: int = 1,
     kernel_bf16: bool = False,
     canon: bool = False,
+    kernel_center: bool = False,
 ) -> Array:
     """Post-sort-projection HEPT pipeline: sort the SHARED pre-projection
     activations instead of per-head q̂/k̂/v.
@@ -663,23 +670,50 @@ def hept_attention_core_xcols(
     # pass dots, half the kernel HBM bytes); values are already bf16-rounded
     # by sort_pack, so the extra rounding is one post-projection quantize.
     ptype = jnp.bfloat16 if kernel_bf16 else jnp.float32
+
+    # kernel_center: subtract a per-bucket mean from the RPE columns of BOTH
+    # q̂ and k̂ before any bf16 cast. The RBF logits equal -½|q̂-k̂|², so a
+    # common per-bucket shift is exact in f32; what it buys is precision —
+    # bf16 rounds relative to the RAW sqrt_w·coord magnitude while the
+    # signal is sqrt_w·Δcoord = O(bucket diameter), and once training grows
+    # sqrt_w the local differences drown in rounding noise (the measured
+    # kernel_bf16/sort_pack 60k instability; see TransformerConfig). Valid
+    # only when q and k ride the same sorted copy (share_heads/shared_sort),
+    # so the shift is common per bucket by construction.
+    if kernel_center:
+        assert share_heads or shared_sort, \
+            "kernel_center needs a shared q/k bucket grid"
+
+    def _center(rpe):  # (..., ne) f32; buckets contiguous along ne
+        if not kernel_center:
+            return rpe
+        shp = rpe.shape
+        b = rpe.reshape(shp[:-1] + (ne // block_size, block_size))
+        mu = jax.lax.stop_gradient(b.mean(axis=-1, keepdims=True))
+        return (b - mu).reshape(shp)
+
     if share_heads:
         # sorted rows are per (hash, event) and shared by all heads
         if plan is None:
             sxs = sxk[:, :, :d_model]  # (c, n_ev, d_model, ne)
             scs = sxk[:, :, d_model:]  # (c, n_ev, cd, ne)
 
-        def project(xs, cs, w):
+        # rpe columns are identical for q̂ and k̂ (both sqrt_w·coords of the
+        # same sorted copy): compute + center once, reuse in both.
+        rpe_sh = _center(
+            sqrt_w[None, None, :, :, None]
+            * scs[:, :, None].astype(jnp.float32)
+        ).astype(ptype)  # (c, n_ev, h, cd, ne)
+
+        def project(xs, w):
             proj = jnp.einsum(
                 "hed,cben->cbhdn", w.astype(xs.dtype), xs,
                 preferred_element_type=ptype,
             )  # (c, n_ev, h, d, ne)
-            rpe = (sqrt_w[None, None, :, :, None]
-                   * cs[:, :, None].astype(jnp.float32)).astype(ptype)
-            return jnp.concatenate([proj, rpe], axis=3)
+            return jnp.concatenate([proj, rpe_sh], axis=3)
 
-        sq = project(sxs, scs, wq).reshape(c * n_ev * h, d + cd, ne)
-        sk = project(sxs, scs, wk).reshape(c * n_ev * h, d + cd, ne)
+        sq = project(sxs, wq).reshape(c * n_ev * h, d + cd, ne)
+        sk = project(sxs, wk).reshape(c * n_ev * h, d + cd, ne)
         sv = jnp.einsum(
             "hed,cben->cbhdn", wv.astype(sxs.dtype), sxs,
             preferred_element_type=ptype,
@@ -692,8 +726,9 @@ def hept_attention_core_xcols(
                 "hed,chben->chbdn", w.astype(xs.dtype), xs,
                 preferred_element_type=ptype,
             )  # (c, h, n_ev, d, ne)
-            rpe = (sqrt_w[None, :, None, :, None]
-                   * cs.astype(jnp.float32)).astype(ptype)
+            rpe = _center(
+                sqrt_w[None, :, None, :, None] * cs.astype(jnp.float32)
+            ).astype(ptype)
             return jnp.concatenate([proj, rpe], axis=3)
 
         sq = project(sxq, wq).reshape(c * h * n_ev, d + cd, ne)
