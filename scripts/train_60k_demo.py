@@ -68,6 +68,12 @@ VARIANTS = {
     "r9clip": dict(static_keys="x0", canon_residual=True, static_rounds=9,
                    _clip=1.0),
     "r2lr3": dict(_lr=3e-3),  # lower-lr control on the r2stack
+    # kernel_center arms: per-bucket RPE centering (precision fix for the
+    # bf16 rounding-noise mechanism; see TransformerConfig.kernel_center)
+    "r2c": dict(kernel_center=True),  # r2stack + centering
+    "fullc": dict(static_keys="x0", canon_residual=True, kernel_center=True),
+    "r9canonc": dict(static_keys="x0", canon_residual=True, static_rounds=9,
+                     kernel_center=True),
 }
 variant = sys.argv[1] if len(sys.argv) > 1 else "full"
 lr = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-2
