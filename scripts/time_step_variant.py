@@ -39,6 +39,10 @@ keys = ("x", "coords", "valid", "pairs", "pair_mask", "cluster_ids", "recons",
         "pts", "pair_rev", "pair_weight", "pair_neg")
 bt = {k: jnp.asarray(batch[k][0]) for k in keys}
 
+vk = dict(VARIANTS[variant])
+attn_impl = vk.pop("_attn_impl", "hybrid")
+vk.pop("_clip", None)  # optimizer-level keys: irrelevant for step timing
+vk.pop("_lr", None)
 cfg = TransformerConfig(
     in_dim=ev.x.shape[1], coords_dim=ev.coords.shape[1], task="tracking",
     **{
@@ -47,9 +51,9 @@ cfg = TransformerConfig(
             h_dim=24, n_layers=4, num_w_per_dist=10, sort_pack=True,
             sort_ops=8, qkv_post_sort=True, scan_layers=True,
             unsort_pack=True, shared_sort=True, share_heads=True,
-            kernel_bf16=True, padding_mode="replicate", attn_impl="hybrid",
+            kernel_bf16=True, padding_mode="replicate", attn_impl=attn_impl,
         ),
-        **VARIANTS[variant],
+        **vk,
     },
 )
 model = HeptTransformer(cfg)
