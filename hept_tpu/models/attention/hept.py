@@ -107,6 +107,10 @@ class HeptAttention(nn.Module):
     # in f32 (RBF logits are shift-invariant), rescues kernel_bf16/sort_pack
     # precision at large sqrt_w. See hept_attention_core_xcols.
     kernel_center: bool = False
+    # With canon: ROW-major canonical unsort (flat row gather instead of the
+    # minor-axis sort) and row-major (n, h·dv) output straight into
+    # out_linear. See hept_attention_core_xcols.
+    unsort_rows: bool = False
 
     @nn.compact
     def __call__(self, query, key, value, *, coords, codes, w_rpe_weight,
@@ -156,8 +160,10 @@ class HeptAttention(nn.Module):
                 kernel_bf16=self.kernel_bf16,
                 canon=self.canon,
                 kernel_center=self.kernel_center,
-            )  # (h, d, n)
-            out = out.reshape(h * d, n).T
+                unsort_rows=self.unsort_rows,
+            )  # (h, d, n) columns, or (n, h·d) rows under unsort_rows
+            if not self.unsort_rows:
+                out = out.reshape(h * d, n).T
             if self.head_axis is not None:
                 out = jax.lax.all_gather(out, self.head_axis, axis=1, tiled=True)
             return TorchLinear(d, name="out_linear")(out)

@@ -144,6 +144,14 @@ class TransformerConfig:
     # the plan also carries its sorted coords in f32 (transport rounding
     # matters for the same reason).
     kernel_center: bool = False
+    # With canon_residual: ROW-major canonical unsort — one lane transpose,
+    # then the reorder back to canonical order is a flat row gather of
+    # contiguous (h·(dv+1))-feature rows instead of a minor-axis lax.sort
+    # (~2x the unsort wall, scripts/probe_unsort_row.py), and the attention
+    # output stays row-major straight into out_linear (the column pipeline's
+    # final transpose disappears). Pure layout change: same math, same
+    # rounding profile as the sort-carry unsort under unsort_pack.
+    unsort_rows: bool = False
     num_classes: int = 1  # pileup head width
     # baseline-attention knobs (reference configs/*)
     pe_type: str = "none"  # none | learned | fixed
@@ -254,6 +262,7 @@ def _make_attention(cfg: TransformerConfig):
             kernel_bf16=cfg.kernel_bf16,
             canon=cfg.canon_residual,
             kernel_center=cfg.kernel_center,
+            unsort_rows=cfg.unsort_rows,
             **common,
         )
     if cfg.attn_type == "performer":

@@ -23,6 +23,7 @@ from jax import Array
 from ..core.buckets import (
     grouped_sort_carry,
     permute_gather,
+    permute_gather_rows,
     sort_carry,
     unsort_carry,
 )
@@ -449,7 +450,8 @@ def static_bucket_plan(
                                    "sort_ops", "unsort_pack", "hash_axis",
                                    "shared_sort", "share_heads",
                                    "fold_unsort", "sort_events",
-                                   "kernel_bf16", "canon", "kernel_center"))
+                                   "kernel_bf16", "canon", "kernel_center",
+                                   "unsort_rows"))
 def hept_attention_core_xcols(
     x_cols: Array,
     coords_cols: Array,
@@ -475,6 +477,7 @@ def hept_attention_core_xcols(
     kernel_bf16: bool = False,
     canon: bool = False,
     kernel_center: bool = False,
+    unsort_rows: bool = False,
 ) -> Array:
     """Post-sort-projection HEPT pipeline: sort the SHARED pre-projection
     activations instead of per-head q̂/k̂/v.
@@ -683,6 +686,8 @@ def hept_attention_core_xcols(
     if kernel_center:
         assert share_heads or shared_sort, \
             "kernel_center needs a shared q/k bucket grid"
+    if unsort_rows:
+        assert canon, "unsort_rows is implemented for the canon path"
 
     def _center(rpe):  # (..., ne) f32; buckets contiguous along ne
         if not kernel_center:
@@ -762,6 +767,36 @@ def hept_attention_core_xcols(
         od = jnp.concatenate([stable_ratio(so, denom), denom], axis=1)
     else:
         od = jnp.concatenate([so, denom], axis=1)  # (rows, dv + 1, ne)
+    if canon and unsort_rows:
+        # ROW-MAJOR canon unsort: one lane transpose turns the per-point
+        # [num|denom] of all heads into contiguous (h·(dv+1))-feature rows,
+        # then the canonical reorder is a flat ROW GATHER (contiguous
+        # 400-800 B fetches on the sublane axis) instead of a minor-axis
+        # lax.sort — ~2x the unsort wall (scripts/probe_unsort_row.py). The
+        # OR-combine, ratio and output then STAY row-major: the consumer
+        # (out_linear) reads (n, h·dv) rows, so the column pipeline's final
+        # (h·dv, n) -> (n, h·dv) transpose disappears instead of coming back.
+        assert unsort_pack != "fp8", "unsort_rows: fp8 transport unsupported"
+        w_row = h * (dv + 1)
+        od5 = od.reshape(c, n_ev, h, dv + 1, ne)
+        rows4 = od5.transpose(0, 1, 4, 2, 3).reshape(c, n_ev, ne, w_row)
+        if c > 1:
+            # canonical position j takes round-r slot finv[r, j]; VJP
+            # gathers back by fmap (its inverse).
+            g = permute_gather_rows(
+                rows4[1:].reshape((c - 1) * n_ev, ne, w_row),
+                finv[1:].reshape((c - 1) * n_ev, ne),
+                fmap[1:].reshape((c - 1) * n_ev, ne),
+                pack=bool(unsort_pack),
+            ).reshape(c - 1, n_ev, ne, w_row)
+            rows4 = jnp.concatenate([rows4[:1], g], axis=0)
+        combined = rows4.sum(axis=0).reshape(n_ev, ne, h, dv + 1)
+        o_sum, l_sum = combined[..., :dv], combined[..., dv:]
+        if hash_axis is not None:
+            o_sum = jax.lax.psum(o_sum, hash_axis)
+            l_sum = jax.lax.psum(l_sum, hash_axis)
+        out = stable_ratio(o_sum, l_sum)  # (n_ev, ne, h, dv)
+        return out.reshape(n, h * dv)  # ROW-major (consumer: out_linear)
     if canon:
         # canonical-residual: round 0's output is already in the canonical
         # order — only rounds 1.. ride the unsort (keyed by the composed

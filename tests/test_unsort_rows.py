@@ -1,0 +1,73 @@
+"""unsort_rows: the row-major canonical unsort is a pure layout change —
+same permutations, same per-element bf16 rounding (rounding is elementwise;
+only the u32 pairing differs), same OR-combine order. Outputs must match the
+sort-carry canon path to f32-reassociation tolerance, forward and backward.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hept_tpu.models import HeptTransformer, TransformerConfig
+
+pytestmark = pytest.mark.quick
+
+
+def _cfg(**kw):
+    base = dict(
+        in_dim=6, coords_dim=4, task="tracking", h_dim=8, num_heads=2,
+        n_layers=2, block_size=16, n_hashes=3, num_regions=6,
+        num_w_per_dist=3, padding_mode="replicate", attn_impl="xla",
+        qkv_post_sort=True, shared_sort=True, share_heads=True,
+        static_keys="x0", canon_residual=True,
+    )
+    base.update(kw)
+    return TransformerConfig(**base)
+
+
+def _event(n=128, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((n, 6)), jnp.float32)
+    coords = jnp.asarray(rng.standard_normal((n, 4)), jnp.float32)
+    valid = jnp.ones((n,), bool)
+    return x, coords, valid
+
+
+@pytest.mark.parametrize("pack", [False, True])
+def test_unsort_rows_matches_sort_carry(pack):
+    x, coords, valid = _event()
+    kw = dict(sort_pack=pack, unsort_pack=pack)
+    m0 = HeptTransformer(_cfg(unsort_rows=False, **kw))
+    m1 = HeptTransformer(_cfg(unsort_rows=True, **kw))
+    v = m0.init(jax.random.PRNGKey(0), x, coords, valid)
+
+    def loss(m):
+        def f(params):
+            out = m.apply({"params": params, "constants": v["constants"]},
+                          x, coords, valid)
+            return (out ** 2).sum(), out
+
+        return jax.value_and_grad(f, has_aux=True)(v["params"])
+
+    (l0, o0), g0 = loss(m0)
+    (l1, o1), g1 = loss(m1)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_unsort_rows_single_hash():
+    """c == 1: no gather at all; the row path must still match."""
+    x, coords, valid = _event(seed=3)
+    m0 = HeptTransformer(_cfg(unsort_rows=False, n_hashes=1))
+    m1 = HeptTransformer(_cfg(unsort_rows=True, n_hashes=1))
+    v = m0.init(jax.random.PRNGKey(0), x, coords, valid)
+    o0 = m0.apply(v, x, coords, valid)
+    o1 = m1.apply(v, x, coords, valid)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                               rtol=1e-5, atol=1e-6)
