@@ -74,6 +74,11 @@ VARIANTS = {
     "fullc": dict(static_keys="x0", canon_residual=True, kernel_center=True),
     "r9canonc": dict(static_keys="x0", canon_residual=True, static_rounds=9,
                      kernel_center=True),
+    # center + row-major canonical unsort (layout-only on top of fullc)
+    "fullcr": dict(static_keys="x0", canon_residual=True, kernel_center=True,
+                   unsort_rows=True),
+    "r9cr": dict(static_keys="x0", canon_residual=True, static_rounds=9,
+                 kernel_center=True, unsort_rows=True),
 }
 variant = sys.argv[1] if len(sys.argv) > 1 else "full"
 lr = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-2
