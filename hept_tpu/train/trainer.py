@@ -403,12 +403,22 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
         train_step = make_dp_train_step(model_apply, loss_fn, tx, mesh, donate=False)
         transfer_fn = lambda b: shard_batch(b, mesh)  # noqa: E731
 
-    run_dir = Path(cfg.log_dir) / f"{cfg.task}_{cfg.model_name}_{cfg.seed}_{cfg.note}"
+    # Time-stamped run dirs, like the reference's time+rand_model_seed_note
+    # naming (tracking_trainer.py:121-125). A reused dir is actively harmful:
+    # orbax retention keeps the HIGHEST step numbers, so a fresh run whose
+    # steps restart at 0 gets its checkpoints deleted in favour of a previous
+    # run's (observed cross-contamination between 60k demo arms). `resume`
+    # must point at an existing run dir via cfg.resume instead.
+    stamp = time.strftime("%m%d-%H%M%S")
+    run_dir = Path(cfg.log_dir) / (
+        f"{stamp}_{cfg.task}_{cfg.model_name}_{cfg.seed}_{cfg.note}"
+    )
     logger = ScalarLogger(run_dir)
     ckpt = CheckpointManager(run_dir / "ckpt")
 
     if cfg.resume:
-        state = ckpt.restore(state)
+        resume_ckpt = CheckpointManager(Path(cfg.resume) / "ckpt")
+        state = resume_ckpt.restore(state)
         log(f"resumed from step {int(state.step)}")
 
     eval_step = make_eval_step(cfg, model_apply)
