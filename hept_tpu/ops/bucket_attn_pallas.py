@@ -631,13 +631,18 @@ def _fwd_slab_impl(sq: Array, sk: Array, sv: Array, bs: int, g: int,
 def _bwd_slab_impl(residuals, grads, bs, g, interpret: bool = False):
     sq, sk, sv = residuals
     g_denom, g_so = grads
-    g_so = g_so.astype(sv.dtype)
+    in_dt = (sq.dtype, sk.dtype, sv.dtype)
+    # upcast bf16 residuals: see _bwd_cols_impl (the bf16-operand backward
+    # is not the gradient of the bf16 forward and collapses 60k training)
+    sq = sq.astype(jnp.float32)
+    sk = sk.astype(jnp.float32)
+    sv = sv.astype(jnp.float32)
+    g_so = g_so.astype(jnp.float32)
     g_denom = g_denom.astype(jnp.float32)
     r, d, n = sq.shape
     dv = sv.shape[1]
     S = g * bs
     n_pad = _round_up(n, S)
-    in_dt = (sq.dtype, sk.dtype, sv.dtype)
     sq, sk, sv, g_so, g_denom = (
         _to_slab_batch(_pad_slab(x, n_pad), S)
         for x in (sq, sk, sv, g_so, g_denom)
@@ -800,10 +805,20 @@ def _fwd_cols_impl(sq: Array, sk: Array, sv: Array, bs: int):
 def _bwd_cols_impl(residuals, grads, bs):
     sq, sk, sv = residuals
     g_denom, g_so = grads
-    # kernel_bf16: contraction operands (incl. the g_so cotangent) ride the
-    # MXU in the primal dtype; accumulation and outputs stay f32, cast back
-    # to the primal dtype at the VJP boundary.
-    g_so = g_so.astype(sv.dtype)
+    # kernel_bf16 residuals are UPCAST to f32 for the backward: bf16 products
+    # are exact in f32, so the f32 kernel on upcast residuals reproduces the
+    # AD gradient of the actual bf16 forward (what the converging fullxla arm
+    # trains with) up to accumulation order. The earlier bf16-operand
+    # backward (bf16-rounded dlt cotangent in the dq/dk dots, hi/lo-split
+    # bias rows whose ~2^-16 relative error is ~0.15 ABSOLUTE on the RBF
+    # logits at trained sqrt_w scales) is NOT that gradient — it collapses
+    # tracking-60k at lr=1e-2 while fullxla converges (ROADMAP round-3
+    # bisect: r2stack/noshare/fullc/r2c all collapse, nokb/fullxla converge).
+    in_dt = (sq.dtype, sk.dtype, sv.dtype)
+    sq = sq.astype(jnp.float32)
+    sk = sk.astype(jnp.float32)
+    sv = sv.astype(jnp.float32)
+    g_so = g_so.astype(jnp.float32)
     g_denom = g_denom.astype(jnp.float32)
     r, d, n = sq.shape
     dv = sv.shape[1]
@@ -845,7 +860,7 @@ def _bwd_cols_impl(residuals, grads, bs):
         ),
     )(sq, sk, sv, g_so, g_denom)
     return (
-        dq[:, :, :nb].reshape(r, d, n).astype(sq.dtype),
-        dk[:, :, :nb].reshape(r, d, n).astype(sk.dtype),
-        dv_out[:, :, :nb].reshape(r, dv, n).astype(sv.dtype),
+        dq[:, :, :nb].reshape(r, d, n).astype(in_dt[0]),
+        dk[:, :, :nb].reshape(r, d, n).astype(in_dt[1]),
+        dv_out[:, :, :nb].reshape(r, dv, n).astype(in_dt[2]),
     )

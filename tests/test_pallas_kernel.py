@@ -202,6 +202,70 @@ class TestColsKernelsBf16:
                 rtol=6e-2, atol=6e-2 * scale, err_msg=nm,
             )
 
+    def test_bwd_is_gradient_of_bf16_forward_at_scale(self):
+        """Regression for the tracking-60k lr=1e-2 collapse (ROADMAP round-3
+        bisect): with bf16 operands the backward must be (numerically) the
+        AD gradient of the ACTUAL bf16 forward — the converging fullxla
+        gradient — not a bf16-degraded approximation of it.
+
+        The regime that exposed the old kernel: RPE-like rows with a large
+        per-bucket common mode (sqrt_w·coord ~ 40 at trained sqrt_w scales,
+        where the signal is sqrt_w·Δcoord = O(1)). The old bf16-operand
+        backward (a) rounded the dlt cotangent to bf16 inside the dq/dk dots
+        while summing the UNROUNDED dlt for the -row_sum·q term — breaking
+        the Σ dl·(k−q) cancellation and leaving noise ∝ |k|·2⁻⁸ — and (b)
+        carried the -½|q̂|² bias through hi/lo bf16 rows whose ~2⁻¹⁶ relative
+        error is O(0.1) ABSOLUTE on the logits at |q̂|² ~ 10⁴, so the
+        recomputed p disagreed with the forward's. Upcasting the residuals
+        to f32 (bf16 products are exact in f32) removes both."""
+        from hept_tpu.ops.bucket_attn import bucket_rbf_attention_cols_xla
+        from hept_tpu.ops.bucket_attn_pallas import (
+            bucket_rbf_attention_cols_pallas,
+        )
+
+        r, d_x, cd, dv, nb, bs = 2, 4, 3, 5, 4, 8
+        n = nb * bs
+        ks = jax.random.split(jax.random.PRNGKey(11), 5)
+        common = jax.random.normal(ks[0], (r, cd, nb, 1)) * 40.0
+        loc_q = jax.random.normal(ks[1], (r, cd, nb, bs))
+        loc_k = jax.random.normal(ks[2], (r, cd, nb, bs))
+        b = jnp.bfloat16
+        sq = jnp.concatenate(
+            [_rand(ks[3], (r, d_x, nb, bs)), common + loc_q], axis=1
+        ).reshape(r, d_x + cd, n).astype(b)
+        sk = jnp.concatenate(
+            [_rand(ks[4], (r, d_x, nb, bs)), common + loc_k], axis=1
+        ).reshape(r, d_x + cd, n).astype(b)
+        sv = _rand(ks[0], (r, dv, n)).astype(b)
+
+        def loss_x(sq, sk, sv):
+            den, so = bucket_rbf_attention_cols_xla(sq, sk, sv, bs)
+            return jnp.sum(so / den)
+
+        def loss_p(sq, sk, sv):
+            den, so = bucket_rbf_attention_cols_pallas(
+                sq, sk, sv, block_size=bs, hybrid="hybrid")
+            return jnp.sum(so / den)
+
+        # Reference: the f32-accumulated gradient AT the bf16 point (bf16
+        # values are exact in f32, so this is the gradient of the function
+        # the bf16 forward actually computes, without XLA AD's own bf16
+        # cotangent-accumulation rounding).
+        g_ref = jax.grad(loss_x, argnums=(0, 1, 2))(
+            sq.astype(jnp.float32), sk.astype(jnp.float32),
+            sv.astype(jnp.float32))
+        with _ctx():
+            g_p = jax.grad(loss_p, argnums=(0, 1, 2))(sq, sk, sv)
+        for a, gp, nm in zip(g_ref, g_p, ("dq", "dk", "dv")):
+            a = np.asarray(a, np.float32)
+            gp = np.asarray(gp, np.float32)
+            # elementwise closeness relative to the gradient's overall scale
+            # (the old kernel missed by ~10x the forward's own bf16 noise)
+            scale = np.abs(a).max()
+            np.testing.assert_allclose(
+                gp, a, rtol=2e-2, atol=2e-2 * scale, err_msg=nm,
+            )
+
     def test_xla_cols_bf16_close(self):
         from hept_tpu.ops.bucket_attn import bucket_rbf_attention_cols_xla
 
