@@ -79,6 +79,11 @@ VARIANTS = {
                    unsort_rows=True),
     "r9cr": dict(static_keys="x0", canon_residual=True, static_rounds=9,
                  kernel_center=True, unsort_rows=True),
+    # row-major canonical unsort WITHOUT centering (exact layout-only change
+    # on top of the full stack; probe_unsort_row.py: ~2x the unsort wall)
+    "fullr": dict(static_keys="x0", canon_residual=True, unsort_rows=True),
+    "r9r": dict(static_keys="x0", canon_residual=True, static_rounds=9,
+                unsort_rows=True),
 }
 variant = sys.argv[1] if len(sys.argv) > 1 else "full"
 lr = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-2
