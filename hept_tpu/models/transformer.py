@@ -52,7 +52,9 @@ class TransformerConfig:
     # bucket-kernel impl: "xla" einsums | "pallas" per-bucket-loop kernels |
     # "hybrid" (xla einsum fwd + pallas bwd) | "slab" (block-diagonal-masked
     # slab kernels fwd+bwd — one big MXU dot per g buckets, no serial
-    # per-bucket chain) | "hybrid_slab" (xla fwd + slab bwd)
+    # per-bucket chain) | "hybrid_slab" (xla fwd + slab bwd) | "hybrid2"
+    # (xla fwd + bf16-operand Pallas bwd with f32-grade numerics — hi/lo
+    # dlt split + exact f32 bias broadcasts; _bwd_cols_kernel_v2)
     attn_impl: str = "xla"
     sort_pack: bool = False  # bf16-packed sort payloads in HEPT attention
     sort_ops: int = 1  # payload operands per sort call (see grouped_sort_carry)

@@ -417,6 +417,87 @@ def _bwd_cols_kernel(
         )
 
 
+def _bwd_cols_kernel_v2(
+    q_ref, k_ref, v_ref, gso_ref, gden_ref, dq_ref, dk_ref, dv_ref, *, g: int
+):
+    """bf16 backward with f32-grade numerics at bf16-MXU speed.
+
+    The original bf16-operand backward collapsed tracking-60k training
+    (ROADMAP round-3 bisect; see _bwd_cols_impl). This variant removes both
+    inconsistencies while keeping the dots MXU-native bf16:
+      * the -½|q̂|²/-½|k̂|² bias terms are added as EXACT f32 broadcasts —
+        q_sq as a (1, Bq) lane row, k_sq as a (Bk, 1) sublane column (an
+        MXU ones-matvec produces it directly in that orientation) — instead
+        of hi/lo bf16 augmented rows whose ~2⁻¹⁶ relative error is O(0.1)
+        absolute on the logits at trained sqrt_w scales;
+      * the dlt cotangent rides the dq/dk dots as a hi/lo bf16 pair (two
+        MXU passes, ~2⁻¹⁶ representation error), and the -row_sum·q /
+        -col_sum·k corrections come from the SAME operands via a ones-row
+        augmentation of k/q — the Σ dl·(k−q) cancellation is consistent by
+        construction.
+    dv keeps the single rounded pt (that matches the forward's own p→bf16
+    cast before the value matmul).
+    """
+    bs = q_ref.shape[-1]
+    f32 = jnp.float32
+    bdt = q_ref.dtype  # bfloat16
+    ones_row = jnp.ones((1, bs), bdt)
+    for i in range(g):
+        q = q_ref[0, :, i, :]  # (d, Bq)
+        k = k_ref[0, :, i, :]
+        v = v_ref[0, :, i, :]
+        g_so = gso_ref[0, :, i, :]  # (dv, Bq)
+        g_den = gden_ref[0:1, 0, i, :]  # (1, Bq) f32
+        d = q.shape[0]
+        qf = q.astype(f32)
+        kf = k.astype(f32)
+        ones_d = jnp.ones((1, d), f32)
+        ones_dc = jnp.ones((d, 1), f32)
+        q_sq = -0.5 * jax.lax.dot_general(  # (1, Bq) lane row
+            ones_d, qf * qf, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
+        )
+        k_sq_col = -0.5 * jax.lax.dot_general(  # (Bk, 1) sublane column
+            kf * kf, ones_dc, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
+        )
+        logits_t = (
+            jax.lax.dot_general(  # (Bk, Bq) bf16 MXU, f32 accum
+                k, q, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+            )
+            + k_sq_col
+            + q_sq
+        )
+        pt = jnp.exp(jnp.minimum(logits_t, 0.0))
+        gp = (
+            jax.lax.dot_general(  # (Bk, Bq)
+                v, g_so, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+            )
+            + g_den.astype(f32)
+        )
+        dlt = jnp.where(logits_t < 0.0, pt * gp, 0.0)  # f32
+        hi = dlt.astype(bdt)
+        lo = (dlt - hi.astype(f32)).astype(bdt)
+        ka = jnp.concatenate([k, ones_row], axis=0)  # (d+1, Bk)
+        qa = jnp.concatenate([q, ones_row], axis=0)  # (d+1, Bq)
+        dqa = jax.lax.dot_general(  # (d+1, Bq): rows 0..d-1 dq_dot, row d Σdl
+            ka, hi, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        ) + jax.lax.dot_general(
+            ka, lo, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        )
+        dka = jax.lax.dot_general(  # (d+1, Bk)
+            qa, hi, (((1,), (1,)), ((), ())), preferred_element_type=f32,
+        ) + jax.lax.dot_general(
+            qa, lo, (((1,), (1,)), ((), ())), preferred_element_type=f32,
+        )
+        dq_ref[0, :, i, :] = dqa[:d] - dqa[d : d + 1] * qf
+        dk_ref[0, :, i, :] = dka[:d] - dka[d : d + 1] * kf
+        dv_ref[0, :, i, :] = jax.lax.dot_general(  # (dv, Bk)
+            g_so, pt.astype(bdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )
+
+
 def _fwd_slab_kernel(q_ref, k_ref, v_ref, denom_ref, so_ref, *, bs: int):
     """Block-diagonal SLAB forward: one grid step processes g consecutive
     buckets as a single (S, S) MXU dot, S = g·bs, with a block-diagonal mask
@@ -687,7 +768,7 @@ def _make_cols_pallas(bs: int, mode: str = "pallas"):
     slab_g = _slab_g(bs)
     if mode in ("slab", "hybrid_slab") and slab_g < 2:
         mode = {"slab": "pallas", "hybrid_slab": "hybrid"}[mode]  # bs too big
-    hybrid = mode in ("hybrid", "hybrid_slab")
+    hybrid = mode in ("hybrid", "hybrid2", "hybrid_slab")
     if hybrid:
         # Hybrid forward: XLA's batched einsum runs the 14400 small per-
         # bucket matmuls as one big MXU batch (6.0 vs 10.2 ms at tracking-
@@ -716,7 +797,7 @@ def _make_cols_pallas(bs: int, mode: str = "pallas"):
             return _bwd_slab_impl(residuals, grads, bs, slab_g)
     else:
         def _bwd(residuals, grads):
-            return _bwd_cols_impl(residuals, grads, bs)
+            return _bwd_cols_impl(residuals, grads, bs, v2=(mode == "hybrid2"))
 
     @jax.custom_vjp
     def f(sq, sk, sv):
@@ -802,23 +883,29 @@ def _fwd_cols_impl(sq: Array, sk: Array, sv: Array, bs: int):
     )
 
 
-def _bwd_cols_impl(residuals, grads, bs):
+def _bwd_cols_impl(residuals, grads, bs, v2: bool = False):
     sq, sk, sv = residuals
     g_denom, g_so = grads
-    # kernel_bf16 residuals are UPCAST to f32 for the backward: bf16 products
-    # are exact in f32, so the f32 kernel on upcast residuals reproduces the
-    # AD gradient of the actual bf16 forward (what the converging fullxla arm
-    # trains with) up to accumulation order. The earlier bf16-operand
-    # backward (bf16-rounded dlt cotangent in the dq/dk dots, hi/lo-split
-    # bias rows whose ~2^-16 relative error is ~0.15 ABSOLUTE on the RBF
-    # logits at trained sqrt_w scales) is NOT that gradient — it collapses
-    # tracking-60k at lr=1e-2 while fullxla converges (ROADMAP round-3
-    # bisect: r2stack/noshare/fullc/r2c all collapse, nokb/fullxla converge).
     in_dt = (sq.dtype, sk.dtype, sv.dtype)
-    sq = sq.astype(jnp.float32)
-    sk = sk.astype(jnp.float32)
-    sv = sv.astype(jnp.float32)
-    g_so = g_so.astype(jnp.float32)
+    v2 = v2 and sq.dtype == jnp.bfloat16
+    if not v2:
+        # kernel_bf16 residuals are UPCAST to f32 for the backward: bf16
+        # products are exact in f32, so the f32 kernel on upcast residuals
+        # reproduces the AD gradient of the actual bf16 forward (what the
+        # converging fullxla arm trains with) up to accumulation order. The
+        # earlier bf16-operand backward (bf16-rounded dlt cotangent in the
+        # dq/dk dots, hi/lo-split bias rows whose ~2^-16 relative error is
+        # ~0.15 ABSOLUTE on the RBF logits at trained sqrt_w scales) is NOT
+        # that gradient — it collapses tracking-60k at lr=1e-2 while fullxla
+        # converges (ROADMAP round-3 bisect: r2stack/noshare/fullc/r2c all
+        # collapse, nokb/fullxla converge).
+        sq = sq.astype(jnp.float32)
+        sk = sk.astype(jnp.float32)
+        sv = sv.astype(jnp.float32)
+        g_so = g_so.astype(jnp.float32)
+    else:
+        # v2: bf16-operand dots with f32-grade numerics (_bwd_cols_kernel_v2)
+        g_so = g_so.astype(jnp.bfloat16)
     g_denom = g_denom.astype(jnp.float32)
     r, d, n = sq.shape
     dv = sv.shape[1]
@@ -827,7 +914,8 @@ def _bwd_cols_impl(residuals, grads, bs):
     nb_pad = nb if g else -(-nb // 8) * 8
     g = g or _pick_group(nb_pad)
     grid = (r, nb_pad // g)
-    kernel = functools.partial(_bwd_cols_kernel, g=g)
+    kernel = functools.partial(
+        _bwd_cols_kernel_v2 if v2 else _bwd_cols_kernel, g=g)
     sq = _pad_buckets(sq.reshape(r, d, nb, bs), nb_pad)
     sk = _pad_buckets(sk.reshape(r, d, nb, bs), nb_pad)
     sv = _pad_buckets(sv.reshape(r, dv, nb, bs), nb_pad)

@@ -84,6 +84,12 @@ VARIANTS = {
     "fullr": dict(static_keys="x0", canon_residual=True, unsort_rows=True),
     "r9r": dict(static_keys="x0", canon_residual=True, static_rounds=9,
                 unsort_rows=True),
+    # bf16-operand v2 backward (f32-grade numerics at bf16-MXU cost;
+    # _bwd_cols_kernel_v2) on the full stack
+    "fullv2": dict(static_keys="x0", canon_residual=True,
+                   _attn_impl="hybrid2"),
+    "fullrv2": dict(static_keys="x0", canon_residual=True, unsort_rows=True,
+                    _attn_impl="hybrid2"),
 }
 variant = sys.argv[1] if len(sys.argv) > 1 else "full"
 lr = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-2

@@ -266,6 +266,50 @@ class TestColsKernelsBf16:
                 gp, a, rtol=2e-2, atol=2e-2 * scale, err_msg=nm,
             )
 
+    def test_bwd_v2_matches_f32_upcast(self):
+        """The bf16-operand v2 backward (_bwd_cols_kernel_v2: hi/lo dlt
+        split, exact f32 bias broadcasts, ones-row-consistent sums) must
+        track the f32-upcast backward to ~hi/lo representation error at the
+        collapse regime — f32-grade gradients at bf16-MXU cost."""
+        from hept_tpu.ops.bucket_attn_pallas import (
+            bucket_rbf_attention_cols_pallas,
+        )
+
+        r, d_x, cd, dv, nb, bs = 2, 4, 3, 5, 4, 8
+        n = nb * bs
+        ks = jax.random.split(jax.random.PRNGKey(3), 5)
+        common = jax.random.normal(ks[0], (r, cd, nb, 1)) * 40.0
+        b = jnp.bfloat16
+        sq = jnp.concatenate(
+            [_rand(ks[3], (r, d_x, nb, bs)),
+             common + jax.random.normal(ks[1], (r, cd, nb, bs))], axis=1
+        ).reshape(r, d_x + cd, n).astype(b)
+        sk = jnp.concatenate(
+            [_rand(ks[4], (r, d_x, nb, bs)),
+             common + jax.random.normal(ks[2], (r, cd, nb, bs))], axis=1
+        ).reshape(r, d_x + cd, n).astype(b)
+        sv = _rand(ks[0], (r, dv, n)).astype(b)
+
+        def make_loss(mode):
+            def loss(sq, sk, sv):
+                den, so = bucket_rbf_attention_cols_pallas(
+                    sq, sk, sv, block_size=bs, hybrid=mode)
+                return jnp.sum(so / den)
+            return loss
+
+        with _ctx():
+            g_f32 = jax.grad(make_loss("hybrid"), argnums=(0, 1, 2))(
+                sq, sk, sv)
+            g_v2 = jax.grad(make_loss("hybrid2"), argnums=(0, 1, 2))(
+                sq, sk, sv)
+        for a, gp, nm in zip(g_f32, g_v2, ("dq", "dk", "dv")):
+            a = np.asarray(a, np.float32)
+            gp = np.asarray(gp, np.float32)
+            scale = np.abs(a).max()
+            np.testing.assert_allclose(
+                gp, a, rtol=5e-3, atol=5e-3 * scale, err_msg=nm,
+            )
+
     def test_xla_cols_bf16_close(self):
         from hept_tpu.ops.bucket_attn import bucket_rbf_attention_cols_xla
 
