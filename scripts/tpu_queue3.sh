@@ -18,13 +18,13 @@ wait_for() {
 }
 wait_for /tmp/demo60k_r9canonc.log
 echo "[$(date +%H:%M:%S)] queue2 done; step timers on the fixed kernel"
-for v in full fullr fullxla nh2r8 r2stack; do
+for v in full fullr fullv2 fullrv2 fullxla nh2r8; do
   timeout 1800 python scripts/time_step_variant.py "$v" \
     > "/tmp/time_${v}_fixed.log" 2>&1
   echo "timer $v rc=$?"; grep STEP_MS "/tmp/time_${v}_fixed.log" \
     || tail -n 2 "/tmp/time_${v}_fixed.log"
 done
-for arm in full fullr r9canon nh2r8; do
+for arm in full fullrv2 r9canon nh2r8; do
   echo "[$(date +%H:%M:%S)] arm $arm (fixed bwd)"
   timeout 3000 python scripts/train_60k_demo.py "$arm" \
     > "/tmp/demo60k_${arm}_fixed.log" 2>&1
