@@ -91,42 +91,51 @@ VARIANTS = {
     "fullrv2": dict(static_keys="x0", canon_residual=True, unsort_rows=True,
                     _attn_impl="hybrid2"),
 }
-variant = sys.argv[1] if len(sys.argv) > 1 else "full"
-lr = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-2
+def main():
+    variant = sys.argv[1] if len(sys.argv) > 1 else "full"
+    lr = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-2
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
 
-ds = make_synthetic_tracking(n_events=10, n_points=60_000, seed=0,
-                             avg_track_size=8, pairs_per_point=16)
+    ds = make_synthetic_tracking(n_events=10, n_points=60_000, seed=0,
+                                 avg_track_size=8, pairs_per_point=16)
 
-vk = dict(VARIANTS[variant])
-attn_impl = vk.pop("_attn_impl", "hybrid")  # cfg-level key, not a model kwarg
-clip_norm = vk.pop("_clip", 0.0)
-lr = vk.pop("_lr", lr)
+    vk = dict(VARIANTS[variant])
+    attn_impl = vk.pop("_attn_impl", "hybrid")  # cfg-level, not a model kwarg
+    clip_norm = vk.pop("_clip", 0.0)
+    lr = vk.pop("_lr", lr)
 
-cfg = ExperimentConfig(
-    task="tracking",
-    model_kwargs={
-        **dict(
-            block_size=100, n_hashes=3, num_regions=150, num_heads=8,
-            h_dim=24, n_layers=4, num_w_per_dist=10, sort_pack=True,
-            sort_ops=8, qkv_post_sort=True, scan_layers=True,
-            unsort_pack=True, shared_sort=True, share_heads=True,
-            kernel_bf16=True,
-        ),
-        **vk,  # may override base keys (e.g. n_hashes)
-    },
-    optimizer_kwargs={"lr": lr, "clip_norm": clip_norm},
-    lr_scheduler_name="step",
-    lr_scheduler_kwargs={"step_size": 500, "gamma": 0.5},
-    num_epochs=25,
-    batch_size=1,
-    batch_mode="flat",
-    n_devices=1,
-    main_metric="accuracy@0.9",
-    mode="max",
-    log_dir="/tmp/train60k",
-    attn_impl=attn_impl,
-)
-res = run_one_seed(cfg, dataset=ds)
-print(f"RESULT tracking-60k [{variant} lr={lr:g}]: acc@0.9={res['accuracy@0.9']:.4f} "
-      f"recall@0.9={res['recall@0.9']:.4f} prec@0.9={res.get('precision@0.9', float('nan')):.4f} "
-      f"loss={res['loss']:.4f}", flush=True)
+    cfg = ExperimentConfig(
+        task="tracking",
+        seed=seed,
+        model_kwargs={
+            **dict(
+                block_size=100, n_hashes=3, num_regions=150, num_heads=8,
+                h_dim=24, n_layers=4, num_w_per_dist=10, sort_pack=True,
+                sort_ops=8, qkv_post_sort=True, scan_layers=True,
+                unsort_pack=True, shared_sort=True, share_heads=True,
+                kernel_bf16=True,
+            ),
+            **vk,  # may override base keys (e.g. n_hashes)
+        },
+        optimizer_kwargs={"lr": lr, "clip_norm": clip_norm},
+        lr_scheduler_name="step",
+        lr_scheduler_kwargs={"step_size": 500, "gamma": 0.5},
+        num_epochs=25,
+        batch_size=1,
+        batch_mode="flat",
+        n_devices=1,
+        main_metric="accuracy@0.9",
+        mode="max",
+        log_dir="/tmp/train60k",
+        attn_impl=attn_impl,
+    )
+    res = run_one_seed(cfg, dataset=ds)
+    print(f"RESULT tracking-60k [{variant} lr={lr:g} seed={seed}]: "
+          f"acc@0.9={res['accuracy@0.9']:.4f} "
+          f"recall@0.9={res['recall@0.9']:.4f} "
+          f"prec@0.9={res.get('precision@0.9', float('nan')):.4f} "
+          f"loss={res['loss']:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
