@@ -90,6 +90,13 @@ VARIANTS = {
                    _attn_impl="hybrid2"),
     "fullrv2": dict(static_keys="x0", canon_residual=True, unsort_rows=True,
                     _attn_impl="hybrid2"),
+    # 9-round static plan (coverage recovery) + rows + v2: the accuracy-and-
+    # speed headline candidate
+    "r9rv2": dict(static_keys="x0", canon_residual=True, static_rounds=9,
+                  unsort_rows=True, _attn_impl="hybrid2"),
+    "r9crv2": dict(static_keys="x0", canon_residual=True, static_rounds=9,
+                   kernel_center=True, unsort_rows=True,
+                   _attn_impl="hybrid2"),
 }
 def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "full"
