@@ -71,3 +71,32 @@ def test_unsort_rows_single_hash():
     o1 = m1.apply(v, x, coords, valid)
     np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_unsort_rows_with_static_rounds():
+    """rows x static_rounds (the r9rv2 headline path): per-layer pinned-
+    round-0 sub-plans feed the row gather; must match the sort-carry canon
+    path forward and backward."""
+    x, coords, valid = _event(seed=5)
+    kw = dict(static_rounds=5, n_layers=2)  # 1 + 2*(3-1) pinned scheme
+    m0 = HeptTransformer(_cfg(unsort_rows=False, **kw))
+    m1 = HeptTransformer(_cfg(unsort_rows=True, **kw))
+    v = m0.init(jax.random.PRNGKey(1), x, coords, valid)
+
+    def loss(m):
+        def f(params):
+            out = m.apply({"params": params, "constants": v["constants"]},
+                          x, coords, valid)
+            return (out ** 2).sum(), out
+
+        return jax.value_and_grad(f, has_aux=True)(v["params"])
+
+    (l0, o0), g0 = loss(m0)
+    (l1, o1), g1 = loss(m1)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
