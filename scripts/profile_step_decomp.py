@@ -9,7 +9,9 @@ Measures nested sub-pipelines so the differences isolate components:
   plan      = encoder + static plan build only
 adam = full - grad; bwd = grad - value; loss fwd ~= value - fwd.
 
-Run: python scripts/profile_step_decomp.py
+Run: python scripts/profile_step_decomp.py [variant]
+  variant: a key of train_60k_demo.VARIANTS (default: the hardcoded canon
+  stack below; e.g. fullrv2, r9rv2, nh2r8)
 """
 import sys
 
@@ -39,7 +41,7 @@ keys = ("x", "coords", "valid", "pairs", "pair_mask", "cluster_ids", "recons",
         "pts", "pair_rev", "pair_weight", "pair_neg")
 bt = {k: jnp.asarray(batch[k][0]) for k in keys}
 
-cfg = TransformerConfig(
+_base = dict(
     in_dim=ev.x.shape[1], coords_dim=ev.coords.shape[1], task="tracking",
     h_dim=24, num_heads=8, n_layers=4, block_size=100, n_hashes=3,
     num_regions=150, num_w_per_dist=10, padding_mode="replicate",
@@ -47,6 +49,17 @@ cfg = TransformerConfig(
     qkv_post_sort=True, unsort_pack=True, shared_sort=True, share_heads=True,
     kernel_bf16=True, static_keys="x0", canon_residual=True,
 )
+if len(sys.argv) > 1:
+    sys.path.insert(0, "/root/repo/scripts")
+    from train_60k_demo import VARIANTS
+
+    vk = dict(VARIANTS[sys.argv[1]])
+    _base["attn_impl"] = vk.pop("_attn_impl", "hybrid")
+    vk.pop("_clip", None)
+    vk.pop("_lr", None)
+    _base.update(vk)
+    print(f"variant {sys.argv[1]}: {vk}", flush=True)
+cfg = TransformerConfig(**_base)
 model = HeptTransformer(cfg)
 tx = make_optimizer("adam", lr=1e-2)
 variables = jax.jit(model.init)(
