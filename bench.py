@@ -85,8 +85,10 @@ def main():
             h_dim=24, num_heads=8, n_layers=4, block_size=100, n_hashes=3,
             num_regions=150, num_w_per_dist=10,
             padding_mode="replicate",
-            attn_impl="hybrid" if on_tpu else "xla",  # einsum fwd + pallas bwd
-            # (probe_kernel_r3b.py: the Pallas fwd is serial-MXU-latency-bound)
+            attn_impl="hybrid2" if on_tpu else "xla",  # einsum fwd + pallas
+            # bf16 v2 bwd (f32-grade numerics at bf16-MXU cost; 169.6 ->
+            # 144.0 ms with rows. 60k-validated: fullrv2 acc@0.9 0.9288 vs
+            # full 0.9305 — the OLD bf16 bwd collapsed at 60k, see ROADMAP)
             scan_layers=True,
             sort_pack=True,  # bf16-packed sort payloads (validated: converges
             # identically to f32 on this workload; BASELINE.md round-1 notes)
@@ -116,6 +118,10 @@ def main():
             # 186.7 -> 168.8 ms). Pure storage reordering, exactly equal
             # to static_keys with packing off (tests/test_canon_residual) —
             # NOT a new convergence divergence.
+            unsort_rows=True,  # row-major canonical unsort: one lane
+            # transpose + flat row gather instead of the minor-axis sort
+            # (187.1 -> 161.2 ms on the fixed kernel). Layout-only, exact
+            # (tests/test_unsort_rows.py).
         )
         base.update(overrides)
         return TransformerConfig(**base)

@@ -21,4 +21,7 @@ for v in fullrv2 nh2r8; do
     > "/tmp/decomp_${v}.log" 2>&1
   echo "decomp $v rc=$?"; grep -E "ms|=" "/tmp/decomp_${v}.log" | tail -8
 done
+echo "[$(date +%H:%M:%S)] bench warm run (incl. parity subprocess)"
+timeout 3000 python bench.py > /tmp/bench_warm.log 2>&1
+echo "bench rc=$?"; tail -n 3 /tmp/bench_warm.log
 echo "[$(date +%H:%M:%S)] queue5 done"
