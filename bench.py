@@ -40,6 +40,11 @@ WARMUP = 3
 ITERS = 15
 BATCH_SIZES = (1, 2)
 PARITY_BUDGET_S = 1200  # cold-cache parity compile bound (cached afterwards)
+# secondary line: tracking-6k with stacked flat batching (the reference's
+# other primary scale; small events are where flat batching is the >5x
+# lever — BASELINE.md scaling notes)
+N_POINTS_6K = 6_000
+BATCH_6K = 8
 
 
 def main():
@@ -72,6 +77,12 @@ def main():
             rng, n_points=N_POINTS, avg_track_size=8, pairs_per_point=16
         )
         for _ in range(max(BATCH_SIZES))
+    ]
+    events6k = [
+        synthetic_tracking_event(
+            rng, n_points=N_POINTS_6K, avg_track_size=8, pairs_per_point=16
+        )
+        for _ in range(BATCH_6K)
     ]
 
     def _stamp(msg):
@@ -132,9 +143,10 @@ def main():
     model = HeptTransformer(cfg)
     tx = make_optimizer("adam", lr=1e-2)
 
-    def pack(b):
+    def pack(b, evs=None):
         # 128-window pair layout: the loss uses the windowed MXU pair ops
-        batch = pack_events(events[:b], block_size=100, window_pairs=128)
+        batch = pack_events((evs or events)[:b], block_size=100,
+                            window_pairs=128)
         keys = ("x", "coords", "valid", "pairs", "pair_mask", "cluster_ids",
                 "recons", "pts", "pair_rev", "pair_weight", "pair_neg")
         return {k: jnp.asarray(batch[k]) for k in keys}
@@ -294,6 +306,31 @@ def main():
     float(out.sum())
     fwd_ms = (time.perf_counter() - t0) / ITERS * 1e3
 
+    # tracking-6k flat batch (reference's other primary scale): B events ride
+    # the bucket sorts as separate batch rows (sort_events) — at small n the
+    # per-sort-call latency floors dominate a single event, so flat batching
+    # is the big lever here (unlike 60k where B=1 wins).
+    step6k_ms = pps6k = None
+    try:
+        _stamp(f"6k flat batch B={BATCH_6K}")
+        bt6 = pack(BATCH_6K, events6k)
+        step6 = make_step(BATCH_6K)
+        st6, l6 = step6(state0, bt6)
+        float(l6)
+        for _ in range(WARMUP - 1):
+            st6, l6 = step6(st6, bt6)
+        float(l6)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            st6, l6 = step6(st6, bt6)
+        float(l6)
+        dt6 = (time.perf_counter() - t0) / ITERS
+        step6k_ms = dt6 * 1e3
+        pps6k = BATCH_6K * N_POINTS_6K / dt6
+        _stamp(f"6k B={BATCH_6K}: {step6k_ms:.1f} ms/step, {pps6k:,.0f} pts/s")
+    except Exception as e:
+        _stamp(f"6k flat batch failed ({type(e).__name__}); omitting")
+
     # Reference-parity-mode step (no fast-mode divergences: per-head hashing,
     # independent q/k bucket sorts, f32 sort/unsort transport), reported
     # alongside the fast number so round-over-round progress can't silently
@@ -336,6 +373,8 @@ def main():
                 "step_ms_b1": round(dt1 * 1e3, 2),
                 "step_ms_parity": round(parity_ms, 2) if parity_ms else None,
                 "fwd_ms": round(fwd_ms, 2),
+                "step_ms_6k_b8": round(step6k_ms, 2) if step6k_ms else None,
+                "pts_per_s_6k_b8": round(pps6k, 1) if pps6k else None,
                 "mfu": round(mfu, 4),
                 "hbm_gb_per_s": round(hbm_gbs, 1),
                 "flops_per_step": cb.get("flops", 0.0),
