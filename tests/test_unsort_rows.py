@@ -73,6 +73,32 @@ def test_unsort_rows_single_hash():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_unsort_rows_flat_batch():
+    """rows x stacked flat batching (the bench 6k B>1 path): per-event sort
+    rows feed the row gather; must match the sort-carry canon path."""
+    from hept_tpu.models import make_flat_batched_apply
+
+    n, b = 64, 2
+    xs, cs, vs = zip(*[_event(n, seed=10 + i) for i in range(b)])
+    x = jnp.concatenate(xs)
+    coords = jnp.concatenate(cs)
+    valid = jnp.concatenate(vs)
+    m0 = HeptTransformer(_cfg(unsort_rows=False, sort_events=b, block_size=8,
+                              num_regions=4))
+    m1 = HeptTransformer(_cfg(unsort_rows=True, sort_events=b, block_size=8,
+                              num_regions=4))
+    f0 = make_flat_batched_apply(m0)
+    f1 = make_flat_batched_apply(m1)
+    xb = x.reshape(b, n, -1)
+    cb = coords.reshape(b, n, -1)
+    vb = valid.reshape(b, n)
+    v = m0.init(jax.random.PRNGKey(2), xb[0], cb[0], vb[0])
+    o0 = f0(v, xb, cb, vb)
+    o1 = f1(v, xb, cb, vb)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_unsort_rows_with_static_rounds():
     """rows x static_rounds (the r9rv2 headline path): per-layer pinned-
     round-0 sub-plans feed the row gather; must match the sort-carry canon
