@@ -18,4 +18,8 @@ wait_for /tmp/demo60k_r9crv2.log
 echo "[$(date +%H:%M:%S)] queue6 done; pair superstep probe"
 timeout 1800 python scripts/probe_pair_super.py > /tmp/probe_pair_super.log 2>&1
 echo "probe rc=$?"; grep -E "ms|matches|FAILED" /tmp/probe_pair_super.log
+echo "[$(date +%H:%M:%S)] bucket-kernel superstep probe"
+timeout 1800 python scripts/probe_kernel_super.py \
+  > /tmp/probe_kernel_super.log 2>&1
+echo "probe rc=$?"; grep -E "ms|matches|FAILED" /tmp/probe_kernel_super.log
 echo "[$(date +%H:%M:%S)] queue7 done"
