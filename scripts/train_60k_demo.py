@@ -97,6 +97,14 @@ VARIANTS = {
     "r9crv2": dict(static_keys="x0", canon_residual=True, static_rounds=9,
                    kernel_center=True, unsort_rows=True,
                    _attn_impl="hybrid2"),
+    # nh2r8 compositions: OR width 2, 8-round cross-layer union (converged
+    # 0.9334 at 130.7 ms) + the v2 backward; the canon/rows variant pins
+    # round 0 so the union drops to 5 rounds (accuracy risk, speed win)
+    "nh2r8v2": dict(static_keys="x0", static_rounds=8, n_hashes=2,
+                    _attn_impl="hybrid2"),
+    "nh2r5crv2": dict(static_keys="x0", static_rounds=5, n_hashes=2,
+                      canon_residual=True, kernel_center=True,
+                      unsort_rows=True, _attn_impl="hybrid2"),
 }
 def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "full"
