@@ -217,7 +217,7 @@ def main():
         pmodel = HeptTransformer(make_cfg(
             sort_pack=False, sort_ops=1, unsort_pack=False, shared_sort=False,
             share_heads=False, kernel_bf16=False, static_keys=False,
-            canon_residual=False,
+            canon_residual=False, unsort_rows=False, attn_impl="hybrid",
         ))
         _stamp("parity-mode compile")
         pvars = jax.jit(pmodel.init)(
