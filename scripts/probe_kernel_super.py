@@ -87,8 +87,8 @@ def _super_fwd_kernel(q_ref, k_ref, v_ref, denom_ref, so_ref, *, g: int):
         v, pt.astype(bdt), (((1,), (0,)), ((), ())),
         preferred_element_type=f32)
     for i in range(g):
-        denom_ref[0, 0, i, :] = den[0, pl.ds(i * bs, bs)]
-        so_ref[0, :, i, :] = so[:, pl.ds(i * bs, bs)]
+        denom_ref[0, 0, i, :] = den[0, i * bs:(i + 1) * bs]
+        so_ref[0, :, i, :] = so[:, i * bs:(i + 1) * bs]
 
 
 def _super_bwd_kernel(q_ref, k_ref, v_ref, gso_ref, gden_ref,
@@ -147,9 +147,9 @@ def _super_bwd_kernel(q_ref, k_ref, v_ref, gso_ref, gden_ref,
                               (((1,), (1,)), ((), ())),
                               preferred_element_type=f32)
     for i in range(g):
-        dq_ref[0, :, i, :] = dq[:, pl.ds(i * bs, bs)]
-        dk_ref[0, :, i, :] = dk[:, pl.ds(i * bs, bs)]
-        dv_ref[0, :, i, :] = dvv[:, pl.ds(i * bs, bs)]
+        dq_ref[0, :, i, :] = dq[:, i * bs:(i + 1) * bs]
+        dk_ref[0, :, i, :] = dk[:, i * bs:(i + 1) * bs]
+        dv_ref[0, :, i, :] = dvv[:, i * bs:(i + 1) * bs]
 
 
 def super_fwd(sq, sk, sv, bs=BS, g=G):
@@ -214,9 +214,17 @@ def super_bwd(sq, sk, sv, g_so, g_den, bs=BS, g=G):
     return (dq.reshape(r, d, n), dk.reshape(r, d, n), dv_out.reshape(r, dv, n))
 
 
+def _fence(out):
+    # host scalar read: block_until_ready returns early through the axon
+    # tunnel (see bench.py) — a device_get of one element is the real fence
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0]))
+    return out
+
+
 def bench(fn, *args, iters=30, label=""):
     try:
-        out = jax.block_until_ready(fn(*args))
+        out = _fence(fn(*args))
     except Exception as ex:
         print(f"{label:40s} FAILED: {type(ex).__name__}: {str(ex)[:160]}",
               flush=True)
@@ -224,7 +232,7 @@ def bench(fn, *args, iters=30, label=""):
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fence(out)
     dt = (time.perf_counter() - t0) / iters * 1e3
     print(f"{label:40s} {dt:7.2f} ms", flush=True)
     return out

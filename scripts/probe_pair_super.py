@@ -41,10 +41,14 @@ N = 60_000
 E = 1_966_080  # ~2M pairs: 15360 groups of 128 (bench-like)
 
 rng = np.random.default_rng(0)
-# anchor-sorted windowed indices: group j's indices lie in a 256-window
-# around its start (the pack-time layout guarantees this)
+# pack-time invariant (window_pad_pairs): pairs ANCHOR-SORTED, each 128-pair
+# group's anchors span < 128 consecutive rows; window start =
+# align_down(first anchor) so every anchor lies in [start, start + 256)
 g_starts = np.sort(rng.integers(0, N - WIN, size=E // GROUP))
-idx = (g_starts[:, None] + rng.integers(0, WIN, size=(E // GROUP, GROUP))).ravel()
+idx = np.sort(
+    g_starts[:, None] + rng.integers(0, GROUP, size=(E // GROUP, GROUP)),
+    axis=1,
+).ravel()
 idx = np.minimum(idx, N - 1).astype(np.int32)
 emb = rng.standard_normal((D, N)).astype(np.float32)
 
@@ -52,32 +56,27 @@ idx_j = jnp.asarray(idx)
 emb_j = jnp.asarray(emb)
 
 
-def _gather_super_kernel(starts_ref, idx_ref, emb_ref, out_ref, *, t, d, sg):
+def _gather_super_kernel(starts_ref, idx_ref, emb_ref, out_ref, cat_ref,
+                         row_ref, *, t, d, sg):
     pid = pl.program_id(0)
     groups = t // GROUP
     supers = groups // sg
     iota_row = jax.lax.broadcasted_iota(jnp.int32, (sg * WIN, sg * GROUP), 0)
     for s in range(supers):
         base = pid * groups + s * sg
-        # concatenate sg windows into one (d, sg*WIN) operand
-        parts = []
-        offs = []
+        # assemble sg windows into the (d, sg*WIN) scratch (static dests,
+        # dynamic srcs — Mosaic-legal, unlike concat of dynamic slices)
         for j in range(sg):
             start = starts_ref[base + j]
             win = pl.ds(pl.multiple_of(start, GROUP), WIN)
-            parts.append(emb_ref[:, win])
-            offs.append(start)
-        cat = jnp.concatenate(parts, axis=1)  # (d, sg*WIN)
-        # one-hot (sg*WIN, sg*GROUP): pair p of sub-group j maps to row
-        # j*WIN + (idx - start_j)
-        cols = []
-        for j in range(sg):
+            cat_ref[:, j * WIN:(j + 1) * WIN] = emb_ref[:, win]
             lo = (s * sg + j) * GROUP  # local offset inside this block
-            cols.append(idx_ref[0, pl.ds(lo, GROUP)] - offs[j] + j * WIN)
-        rows = jnp.concatenate(cols)  # (sg*GROUP,)
-        onehot = (iota_row == rows[None, :]).astype(jnp.float32)
+            row_ref[0, j * GROUP:(j + 1) * GROUP] = (
+                idx_ref[0, pl.ds(lo, GROUP)] - start + j * WIN
+            )
+        onehot = (iota_row == row_ref[0][None, :]).astype(jnp.float32)
         out_ref[:, pl.ds(s * sg * GROUP, sg * GROUP)] = jax.lax.dot_general(
-            cat, onehot, (((1,), (0,)), ((), ())),
+            cat_ref[:, :], onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
@@ -101,6 +100,10 @@ def gather_super(emb_cols, idx, sg):
         ],
         out_specs=pl.BlockSpec((d, t), lambda i, s: (0, i),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((d, sg * WIN), jnp.float32),
+            pltpu.VMEM((1, sg * GROUP), jnp.int32),
+        ],
     )
     return pl.pallas_call(
         functools.partial(_gather_super_kernel, t=t, d=d, sg=sg),
@@ -109,13 +112,20 @@ def gather_super(emb_cols, idx, sg):
     )(starts, idx.reshape(1, e), emb_pad)
 
 
+def _fence(out):
+    # host scalar read: block_until_ready returns early through the axon
+    # tunnel (see bench.py) — a device_get of one element is the real fence
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0]))
+    return out
+
+
 def bench(fn, *args, iters=30, label=""):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    out = _fence(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fence(out)
     dt = (time.perf_counter() - t0) / iters * 1e3
     print(f"{label:36s} {dt:7.2f} ms", flush=True)
     return out

@@ -1,20 +1,15 @@
 #!/bin/bash
-# After queue7: nh2 compositions — timers then 60k arms. nh2r8 converged
-# 0.9334 at 130.7 ms WITHOUT canon/rows/v2; these compose the remaining
-# validated levers onto it.
+# Re-run the fixed superstep probes (host-read fences; scratch-assembled
+# slabs; static value slices), then the nh2 composition timers + 60k arms.
 # Usage: nohup bash scripts/tpu_queue8.sh > /tmp/tpu_queue8.log 2>&1 &
 cd /root/repo
-wait_for() {
-  local log="$1"
-  while true; do
-    if [ -f "$log" ]; then
-      grep -q "queue7 done\|Traceback" "$log" && return 0
-    fi
-    sleep 60
-  done
-}
-wait_for /tmp/tpu_queue7.log
-echo "[$(date +%H:%M:%S)] queue7 done; nh2 composition timers"
+echo "[$(date +%H:%M:%S)] superstep probes (fixed)"
+timeout 1800 python scripts/probe_pair_super.py > /tmp/probe_pair_super.log 2>&1
+echo "pair probe rc=$?"; grep -E "ms|matches|FAILED" /tmp/probe_pair_super.log
+timeout 1800 python scripts/probe_kernel_super.py \
+  > /tmp/probe_kernel_super.log 2>&1
+echo "kernel probe rc=$?"; grep -E "ms|matches|FAILED" /tmp/probe_kernel_super.log
+echo "[$(date +%H:%M:%S)] nh2 composition timers"
 for v in nh2r8v2 nh2r5crv2; do
   timeout 1800 python scripts/time_step_variant.py "$v" \
     > "/tmp/time_${v}_fixed.log" 2>&1
