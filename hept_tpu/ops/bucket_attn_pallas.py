@@ -633,6 +633,209 @@ def _bwd_slab_kernel(
     )
 
 
+def _slab128_g(nb: int, bs: int, cap_bytes: int = 6 << 20) -> int:
+    """Buckets per flat slab: largest g with nb % g == 0, (g·bs) % 128 == 0
+    (the Pallas block rule on the flat lane axis — no relayout needed), and
+    the (S, S) f32 temporaries within cap. 0 if none exists."""
+    best = 0
+    g = 1
+    while g <= nb:
+        if nb % g == 0 and (g * bs) % 128 == 0 \
+                and (g * bs) ** 2 * 4 <= cap_bytes:
+            best = g
+        g += 1
+    return best
+
+
+def _fwd_slab128_kernel(q_ref, k_ref, v_ref, denom_ref, so_ref, *, bs: int):
+    """Flat-slab forward: one grid step = g consecutive buckets as a single
+    masked (S, S) MXU dot, read as a contiguous (1, d, S) lane slice of the
+    flat (r, d, n) arrays — the bucket axis never leaves the lane dim, so
+    there is NO HBM relayout (the cost that sank the batch-dim slab kernels,
+    ROADMAP round-3 negative result). Requires S = g·bs divisible by 128
+    (native at block_size=128). v2-grade numerics: exact f32 bias broadcasts
+    (lane row + MXU ones-matvec sublane column), bf16 MXU dots, f32 accum."""
+    f32 = jnp.float32
+    bdt = q_ref.dtype
+    bf16 = bdt == jnp.bfloat16
+    prec = None if bf16 else jax.lax.Precision.HIGHEST
+    q = q_ref[0]  # (d, S)
+    k = k_ref[0]
+    v = v_ref[0]
+    S = q.shape[-1]
+    d = q.shape[0]
+    qf = q.astype(f32)
+    kf = k.astype(f32)
+    ones_d = jnp.ones((1, d), f32)
+    ones_dc = jnp.ones((d, 1), f32)
+    q_sq = -0.5 * jax.lax.dot_general(
+        ones_d, qf * qf, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST)
+    k_sq_col = -0.5 * jax.lax.dot_general(
+        kf * kf, ones_dc, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST)
+    logits_t = (
+        jax.lax.dot_general(k, q, (((0,), (0,)), ((), ())),
+                            preferred_element_type=f32, precision=prec)
+        + k_sq_col + q_sq
+    )  # (S_k, S_q)
+    row_b = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0) // bs
+    col_b = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1) // bs
+    pt = jnp.where(row_b == col_b, jnp.exp(jnp.minimum(logits_t, 0.0)), 0.0)
+    denom_ref[0, 0, :] = jnp.sum(pt, axis=0) + DENOM_EPS
+    so_ref[0] = jax.lax.dot_general(
+        v, pt.astype(bdt) if bf16 else pt, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=prec)
+
+
+def _bwd_slab128_kernel(q_ref, k_ref, v_ref, gso_ref, gden_ref,
+                        dq_ref, dk_ref, dv_ref, *, bs: int):
+    """Flat-slab backward with v2-grade numerics (see _bwd_cols_kernel_v2):
+    exact f32 bias broadcasts, hi/lo-split dlt cotangent, ones-row-augmented
+    dq/dk dots so the Σ dl·(k−q) cancellation is consistent; block-diagonal
+    mask keeps every contraction within-bucket."""
+    f32 = jnp.float32
+    bdt = q_ref.dtype
+    bf16 = bdt == jnp.bfloat16
+    prec = None if bf16 else jax.lax.Precision.HIGHEST
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g_so = gso_ref[0]  # (dv, S_q)
+    g_den = gden_ref[0:1, 0, :]  # (1, S_q) f32
+    S = q.shape[-1]
+    d = q.shape[0]
+    qf = q.astype(f32)
+    kf = k.astype(f32)
+    ones_d = jnp.ones((1, d), f32)
+    ones_dc = jnp.ones((d, 1), f32)
+    ones_row = jnp.ones((1, S), bdt)
+    q_sq = -0.5 * jax.lax.dot_general(
+        ones_d, qf * qf, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST)
+    k_sq_col = -0.5 * jax.lax.dot_general(
+        kf * kf, ones_dc, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST)
+    logits_t = (
+        jax.lax.dot_general(k, q, (((0,), (0,)), ((), ())),
+                            preferred_element_type=f32, precision=prec)
+        + k_sq_col + q_sq
+    )
+    row_b = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0) // bs
+    col_b = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1) // bs
+    same = row_b == col_b
+    pt = jnp.where(same, jnp.exp(jnp.minimum(logits_t, 0.0)), 0.0)
+    gp = (
+        jax.lax.dot_general(v, g_so.astype(bdt) if bf16 else g_so,
+                            (((0,), (0,)), ((), ())),
+                            preferred_element_type=f32, precision=prec)
+        + g_den.astype(f32)
+    )
+    dlt = jnp.where(jnp.logical_and(logits_t < 0.0, same), pt * gp, 0.0)
+    if bf16:
+        hi = dlt.astype(bdt)
+        lo = (dlt - hi.astype(f32)).astype(bdt)
+        ka = jnp.concatenate([k, ones_row], axis=0)
+        qa = jnp.concatenate([q, ones_row], axis=0)
+        dqa = jax.lax.dot_general(ka, hi, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=f32) \
+            + jax.lax.dot_general(ka, lo, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+        dka = jax.lax.dot_general(qa, hi, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=f32) \
+            + jax.lax.dot_general(qa, lo, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=f32)
+        pt_c = pt.astype(bdt)
+        gso_c = g_so.astype(bdt)
+    else:
+        ka = jnp.concatenate([k, ones_row], axis=0)
+        qa = jnp.concatenate([q, ones_row], axis=0)
+        dqa = jax.lax.dot_general(ka, dlt, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=f32, precision=prec)
+        dka = jax.lax.dot_general(qa, dlt, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=f32, precision=prec)
+        pt_c = pt
+        gso_c = g_so
+    dq_ref[0] = dqa[:d] - dqa[d:d + 1] * qf
+    dk_ref[0] = dka[:d] - dka[d:d + 1] * kf
+    dv_ref[0] = jax.lax.dot_general(
+        gso_c, pt_c, (((1,), (1,)), ((), ())),
+        preferred_element_type=f32, precision=prec)
+
+
+def _fwd_slab128_impl(sq: Array, sk: Array, sv: Array, bs: int, g: int):
+    r, d, n = sq.shape
+    dv = sv.shape[1]
+    S = g * bs
+    grid = (r, n // S)
+    denom, so = pl.pallas_call(
+        functools.partial(_fwd_slab128_kernel, bs=bs),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, d, S), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, S), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dv, S), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, S), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dv, S), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((r, dv, n), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=r * n * 2 * S * (d + dv),
+            bytes_accessed=4 * r * n * (2 * d + 2 * dv + 1),
+            transcendentals=r * n * S,
+        ),
+    )(sq, sk, sv)
+    return denom, so
+
+
+def _bwd_slab128_impl(residuals, grads, bs, g):
+    sq, sk, sv = residuals
+    g_denom, g_so = grads
+    in_dt = (sq.dtype, sk.dtype, sv.dtype)
+    g_so = g_so.astype(jnp.float32)
+    g_denom = g_denom.astype(jnp.float32)
+    r, d, n = sq.shape
+    dv = sv.shape[1]
+    S = g * bs
+    grid = (r, n // S)
+    dq, dk, dv_out = pl.pallas_call(
+        functools.partial(_bwd_slab128_kernel, bs=bs),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, d, S), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, S), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dv, S), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dv, S), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, d, S), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, S), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dv, S), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, d, n), jnp.float32),
+            jax.ShapeDtypeStruct((r, d, n), jnp.float32),
+            jax.ShapeDtypeStruct((r, dv, n), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=r * n * 2 * S * (3 * d + 2 * dv),
+            bytes_accessed=4 * r * n * (4 * d + 4 * dv + 1),
+            transcendentals=r * n * S,
+        ),
+    )(sq, sk, sv, g_so, g_denom)
+    return (
+        dq.astype(in_dt[0]),
+        dk.astype(in_dt[1]),
+        dv_out.astype(in_dt[2]),
+    )
+
+
 def _pad_slab(x3, n_pad):
     pad = n_pad - x3.shape[-1]
     if pad == 0:
@@ -768,6 +971,38 @@ def _make_cols_pallas(bs: int, mode: str = "pallas"):
     slab_g = _slab_g(bs)
     if mode in ("slab", "hybrid_slab") and slab_g < 2:
         mode = {"slab": "pallas", "hybrid_slab": "hybrid"}[mode]  # bs too big
+    if mode == "slab2":
+        # flat-slab kernels (no relayout) need S = g·bs ≡ 0 mod 128 with
+        # g | nb — shape-dependent, so decide per call and fall back to the
+        # hybrid2 path when no legal g exists (e.g. bs=100 with prime nb).
+        def _fwd2(sq, sk, sv):
+            nb = sq.shape[-1] // bs
+            g = _slab128_g(nb, bs)
+            if g >= 2:
+                return _fwd_slab128_impl(sq, sk, sv, bs, g)
+            from .bucket_attn import bucket_rbf_attention_cols_xla
+
+            prec = (None if sq.dtype == jnp.bfloat16
+                    else jax.lax.Precision.HIGHEST)
+            return bucket_rbf_attention_cols_xla(sq, sk, sv, bs,
+                                                 precision=prec)
+
+        def _bwd2(residuals, grads):
+            sq = residuals[0]
+            nb = sq.shape[-1] // bs
+            g = _slab128_g(nb, bs)
+            if g >= 2:
+                return _bwd_slab128_impl(residuals, grads, bs, g)
+            return _bwd_cols_impl(residuals, grads, bs,
+                                  v2=sq.dtype == jnp.bfloat16)
+
+        @jax.custom_vjp
+        def f2(sq, sk, sv):
+            return _fwd2(sq, sk, sv)
+
+        f2.defvjp(lambda sq, sk, sv: (_fwd2(sq, sk, sv), (sq, sk, sv)),
+                  _bwd2)
+        return f2
     hybrid = mode in ("hybrid", "hybrid2", "hybrid_slab")
     if hybrid:
         # Hybrid forward: XLA's batched einsum runs the 14400 small per-

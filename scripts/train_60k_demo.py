@@ -105,6 +105,15 @@ VARIANTS = {
     "nh2r5crv2": dict(static_keys="x0", static_rounds=5, n_hashes=2,
                       canon_residual=True, kernel_center=True,
                       unsort_rows=True, _attn_impl="hybrid2"),
+    # block_size=128 + flat-slab kernels (slab2): buckets are 128-lane
+    # aligned so g consecutive buckets read as one contiguous lane slice —
+    # one masked (S,S) MXU dot replaces the serial per-bucket chain with
+    # NO HBM relayout. Bigger buckets = a validated divergence (more
+    # neighbors per point; bench arm decides accuracy).
+    "bs128rv2": dict(static_keys="x0", canon_residual=True, unsort_rows=True,
+                     block_size=128, _attn_impl="slab2"),
+    "nh2r8bs128": dict(static_keys="x0", static_rounds=8, n_hashes=2,
+                       block_size=128, _attn_impl="slab2"),
 }
 def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "full"

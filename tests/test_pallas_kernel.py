@@ -266,6 +266,45 @@ class TestColsKernelsBf16:
                 gp, a, rtol=2e-2, atol=2e-2 * scale, err_msg=nm,
             )
 
+    def test_slab2_matches_hybrid(self):
+        """Flat-slab kernels (slab2: g consecutive buckets as one masked
+        (S,S) dot on a contiguous lane slice, S = g·bs ≡ 0 mod 128) must
+        match the per-bucket path forward and backward, f32 and bf16."""
+        from hept_tpu.ops.bucket_attn_pallas import (
+            _slab128_g,
+            bucket_rbf_attention_cols_pallas,
+        )
+
+        r, d, dv, nb, bs = 2, 5, 4, 32, 8
+        assert _slab128_g(nb, bs) >= 2
+        n = nb * bs
+        ks = jax.random.split(jax.random.PRNGKey(9), 3)
+        for dt in (jnp.float32, jnp.bfloat16):
+            sq = _rand(ks[0], (r, d, n)).astype(dt)
+            sk = _rand(ks[1], (r, d, n)).astype(dt)
+            sv = _rand(ks[2], (r, dv, n)).astype(dt)
+
+            def make_loss(mode):
+                def loss(sq, sk, sv):
+                    den, so = bucket_rbf_attention_cols_pallas(
+                        sq, sk, sv, block_size=bs, hybrid=mode)
+                    return jnp.sum(so / den) + jnp.sum(jnp.log(den))
+                return loss
+
+            with _ctx():
+                (l_ref, g_ref) = jax.value_and_grad(
+                    make_loss("hybrid"), argnums=(0, 1, 2))(sq, sk, sv)
+                (l_s, g_s) = jax.value_and_grad(
+                    make_loss("slab2"), argnums=(0, 1, 2))(sq, sk, sv)
+            tol = 1e-4 if dt == jnp.float32 else 2e-2
+            np.testing.assert_allclose(float(l_s), float(l_ref), rtol=tol)
+            for a, b, nm in zip(g_ref, g_s, ("dq", "dk", "dv")):
+                a = np.asarray(a, np.float32)
+                b = np.asarray(b, np.float32)
+                scale = max(np.abs(a).max(), 1e-6)
+                np.testing.assert_allclose(
+                    b, a, rtol=tol, atol=tol * scale, err_msg=f"{dt} {nm}")
+
     def test_bwd_v2_matches_f32_upcast(self):
         """The bf16-operand v2 backward (_bwd_cols_kernel_v2: hi/lo dlt
         split, exact f32 bias broadcasts, ones-row-consistent sums) must
