@@ -93,7 +93,12 @@ def main():
             in_dim=events[0].x.shape[1],
             coords_dim=events[0].coords.shape[1],
             task="tracking",
-            h_dim=24, num_heads=8, n_layers=4, block_size=100, n_hashes=3,
+            h_dim=24, num_heads=8, n_layers=4, block_size=100,
+            n_hashes=2,  # OR width 2 per layer, 8-round cross-layer union
+            # (static_rounds below): faster than 3-round OR3 AND more
+            # accurate at 60k (nh2r8v2 arm: acc@0.9 0.9353 vs fullrv2
+            # 0.9288; union co-bucket recall 0.976). Parity mode restores
+            # the reference's n_hashes=3.
             num_regions=150, num_w_per_dist=10,
             padding_mode="replicate",
             attn_impl="hybrid2" if on_tpu else "xla",  # einsum fwd + pallas
@@ -124,15 +129,11 @@ def main():
             # all layers; per-layer x-reorders become packed gathers
             # (step 200.0 -> 187.2 ms; convergence-validated: acc@0.9
             # 0.9427 vs 0.9434 base, scripts/validate_static_keys.py)
-            canon_residual=True,  # residual stream rides round-0 sorted
-            # order: round 0 skips its x-gather and output unsort (step
-            # 186.7 -> 168.8 ms). Pure storage reordering, exactly equal
-            # to static_keys with packing off (tests/test_canon_residual) —
-            # NOT a new convergence divergence.
-            unsort_rows=True,  # row-major canonical unsort: one lane
-            # transpose + flat row gather instead of the minor-axis sort
-            # (187.1 -> 161.2 ms on the fixed kernel). Layout-only, exact
-            # (tests/test_unsort_rows.py).
+            static_rounds=8,  # 8-round static plan, layers cycle 2-round
+            # subsets: the cross-layer round union carries the co-bucket
+            # coverage that per-layer OR width used to (BASELINE.md round-3
+            # matrix; 60k-validated with n_hashes=2: nh2r8v2 0.9353 @
+            # 123.6 ms vs the 3-round OR3 stack's 0.9288 @ 144.0)
         )
         base.update(overrides)
         return TransformerConfig(**base)
@@ -218,6 +219,7 @@ def main():
             sort_pack=False, sort_ops=1, unsort_pack=False, shared_sort=False,
             share_heads=False, kernel_bf16=False, static_keys=False,
             canon_residual=False, unsort_rows=False, attn_impl="hybrid",
+            n_hashes=3, static_rounds=0,  # reference OR width, per-layer keys
         ))
         _stamp("parity-mode compile")
         pvars = jax.jit(pmodel.init)(
