@@ -114,6 +114,16 @@ VARIANTS = {
                      block_size=128, _attn_impl="slab2"),
     "nh2r8bs128": dict(static_keys="x0", static_rounds=8, n_hashes=2,
                        block_size=128, _attn_impl="slab2"),
+    # accuracy-recovery candidates on the headline stack:
+    # nh2r8v2 + per-bucket RPE centering (centering was worth ~+0.3 on the
+    # 9-round stack at ~zero step cost)
+    "nh2r8cv2": dict(static_keys="x0", static_rounds=8, n_hashes=2,
+                     kernel_center=True, _attn_impl="hybrid2"),
+    # full 12-round union (reference-level co-bucket recall 0.988,
+    # probe_cobucket.py) at n_hashes=3 + center + v2 backward; no canon
+    # (12 rounds exceeds the pinned-round-0 budget) so no unsort_rows
+    "r12cv2": dict(static_keys="x0", static_rounds=12, kernel_center=True,
+                   _attn_impl="hybrid2"),
 }
 def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "full"
