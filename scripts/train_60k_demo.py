@@ -124,6 +124,15 @@ VARIANTS = {
     # (12 rounds exceeds the pinned-round-0 budget) so no unsort_rows
     "r12cv2": dict(static_keys="x0", static_rounds=12, kernel_center=True,
                    _attn_impl="hybrid2"),
+    # OR width 1: each layer a single static round (4 rounds used/step) —
+    # kernel+unsort cost halves again vs nh2, but per-layer co-bucket
+    # recall drops to ~0.52 and the 4-round union to 0.920
+    # (probe_cobucket at 60k). Pareto-mapping arm: speed point whose
+    # accuracy cost decides whether an OR1 mode is ever offerable.
+    "nh1r4v2": dict(static_keys="x0", static_rounds=4, n_hashes=1,
+                    _attn_impl="hybrid2"),
+    "nh1r4cv2": dict(static_keys="x0", static_rounds=4, n_hashes=1,
+                     kernel_center=True, _attn_impl="hybrid2"),
 }
 def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "full"
