@@ -134,6 +134,11 @@ def main():
             # coverage that per-layer OR width used to (BASELINE.md round-3
             # matrix; 60k-validated with n_hashes=2: nh2r8v2 0.9353 @
             # 123.6 ms vs the 3-round OR3 stack's 0.9288 @ 144.0)
+            kernel_center=True,  # per-bucket RPE centering: exact in f32
+            # (RBF logits are shift-invariant), removes the bf16 rounding
+            # floor at trained sqrt_w scales; ~zero step cost and
+            # 60k-validated on this exact stack (nh2r8cv2: acc@0.9 0.9341
+            # @ 124.5 ms vs nh2r8v2 0.9334 @ 123.6)
         )
         base.update(overrides)
         return TransformerConfig(**base)
@@ -217,8 +222,9 @@ def main():
         # JSON always lands.
         pmodel = HeptTransformer(make_cfg(
             sort_pack=False, sort_ops=1, unsort_pack=False, shared_sort=False,
-            share_heads=False, kernel_bf16=False, static_keys=False,
-            canon_residual=False, unsort_rows=False, attn_impl="hybrid",
+            share_heads=False, kernel_bf16=False, kernel_center=False,
+            static_keys=False, canon_residual=False, unsort_rows=False,
+            attn_impl="hybrid",
             n_hashes=3, static_rounds=0,  # reference OR width, per-layer keys
         ))
         _stamp("parity-mode compile")
