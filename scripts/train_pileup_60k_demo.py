@@ -17,16 +17,26 @@ from hept_tpu.train.trainer import run_one_seed
 
 ds = make_synthetic_pileup(n_events=10, n_points=60_000, seed=0)
 
+variant = sys.argv[1] if len(sys.argv) > 1 else "r2"
+model_kwargs = dict(
+    block_size=100, n_hashes=3, num_regions=140, num_heads=8,
+    h_dim=24, n_layers=4, num_w_per_dist=10, sort_pack=True,
+    sort_ops=8, qkv_post_sort=True, scan_layers=True,
+    unsort_pack=True, shared_sort=True, share_heads=True,
+    kernel_bf16=True, static_keys="x0", canon_residual=True,
+)
+attn_impl = "hybrid"
+if variant == "headline":
+    # the tracking bench headline stack (nh2r8cv2): OR width 2, 8-round
+    # static union, per-bucket RPE centering, v2 bf16 backward
+    model_kwargs.update(n_hashes=2, static_rounds=8, kernel_center=True,
+                        canon_residual=False)
+    attn_impl = "hybrid2"
+
 cfg = ExperimentConfig(
     task="pileup",
     loss_name="focal",
-    model_kwargs=dict(
-        block_size=100, n_hashes=3, num_regions=140, num_heads=8,
-        h_dim=24, n_layers=4, num_w_per_dist=10, sort_pack=True,
-        sort_ops=8, qkv_post_sort=True, scan_layers=True,
-        unsort_pack=True, shared_sort=True, share_heads=True,
-        kernel_bf16=True, static_keys="x0", canon_residual=True,
-    ),
+    model_kwargs=model_kwargs,
     optimizer_kwargs={"lr": 1e-3},
     lr_scheduler_name="impatient",  # ReduceLROnPlateau (factor .5, patience 20)
     lr_scheduler_kwargs={"factor": 0.5, "patience": 20},
@@ -37,9 +47,9 @@ cfg = ExperimentConfig(
     main_metric="auc",
     mode="max",
     log_dir="/tmp/train_pileup60k",
-    attn_impl="hybrid",
+    attn_impl=attn_impl,
 )
 res = run_one_seed(cfg, dataset=ds)
-print("RESULT pileup-60k: " + " ".join(
+print(f"RESULT pileup-60k [{variant}]: " + " ".join(
     f"{k}={v:.4f}" for k, v in sorted(res.items())
 ), flush=True)
