@@ -687,7 +687,10 @@ def hept_attention_core_xcols(
         assert share_heads or shared_sort, \
             "kernel_center needs a shared q/k bucket grid"
     if unsort_rows:
-        assert canon, "unsort_rows is implemented for the canon path"
+        assert canon or plan is not None, (
+            "unsort_rows needs static permutations (canon_residual or a "
+            "static_keys plan)"
+        )
 
     def _center(rpe):  # (..., ne) f32; buckets contiguous along ne
         if not kernel_center:
@@ -767,29 +770,44 @@ def hept_attention_core_xcols(
         od = jnp.concatenate([stable_ratio(so, denom), denom], axis=1)
     else:
         od = jnp.concatenate([so, denom], axis=1)  # (rows, dv + 1, ne)
-    if canon and unsort_rows:
-        # ROW-MAJOR canon unsort: one lane transpose turns the per-point
+    if unsort_rows:
+        # ROW-MAJOR unsort: one lane transpose turns the per-point
         # [num|denom] of all heads into contiguous (h·(dv+1))-feature rows,
-        # then the canonical reorder is a flat ROW GATHER (contiguous
-        # 400-800 B fetches on the sublane axis) instead of a minor-axis
-        # lax.sort — ~2x the unsort wall (scripts/probe_unsort_row.py). The
-        # OR-combine, ratio and output then STAY row-major: the consumer
-        # (out_linear) reads (n, h·dv) rows, so the column pipeline's final
-        # (h·dv, n) -> (n, h·dv) transpose disappears instead of coming back.
+        # then the reorder is a flat ROW GATHER (contiguous 400-800 B
+        # fetches on the sublane axis) instead of a minor-axis lax.sort —
+        # ~2x the unsort wall (scripts/probe_unsort_row.py). The OR-combine,
+        # ratio and output then STAY row-major: the consumer (out_linear)
+        # reads (n, h·dv) rows, so the column pipeline's final
+        # (h·dv, n) -> (n, h·dv) transpose disappears instead of coming
+        # back. Needs the plan's static per-round permutations: under canon
+        # round 0 is free and rounds 1.. gather by the composed
+        # canonical-position maps; without canon (e.g. the static_rounds
+        # union stacks, where pinning round 0 would shrink the union) every
+        # round gathers by its own inverse permutation.
         assert unsort_pack != "fp8", "unsort_rows: fp8 transport unsupported"
         w_row = h * (dv + 1)
         od5 = od.reshape(c, n_ev, h, dv + 1, ne)
         rows4 = od5.transpose(0, 1, 4, 2, 3).reshape(c, n_ev, ne, w_row)
-        if c > 1:
-            # canonical position j takes round-r slot finv[r, j]; VJP
-            # gathers back by fmap (its inverse).
-            g = permute_gather_rows(
-                rows4[1:].reshape((c - 1) * n_ev, ne, w_row),
-                finv[1:].reshape((c - 1) * n_ev, ne),
-                fmap[1:].reshape((c - 1) * n_ev, ne),
+        if canon:
+            if c > 1:
+                # canonical position j takes round-r slot finv[r, j]; VJP
+                # gathers back by fmap (its inverse).
+                g = permute_gather_rows(
+                    rows4[1:].reshape((c - 1) * n_ev, ne, w_row),
+                    finv[1:].reshape((c - 1) * n_ev, ne),
+                    fmap[1:].reshape((c - 1) * n_ev, ne),
+                    pack=bool(unsort_pack),
+                ).reshape(c - 1, n_ev, ne, w_row)
+                rows4 = jnp.concatenate([rows4[:1], g], axis=0)
+        else:
+            # natural position j takes round-r sorted slot inv[r, j]; VJP
+            # gathers back by src (its inverse).
+            rows4 = permute_gather_rows(
+                rows4.reshape(c * n_ev, ne, w_row),
+                inv_perm.reshape(c * n_ev, ne),
+                src.reshape(c * n_ev, ne),
                 pack=bool(unsort_pack),
-            ).reshape(c - 1, n_ev, ne, w_row)
-            rows4 = jnp.concatenate([rows4[:1], g], axis=0)
+            ).reshape(c, n_ev, ne, w_row)
         combined = rows4.sum(axis=0).reshape(n_ev, ne, h, dv + 1)
         o_sum, l_sum = combined[..., :dv], combined[..., dv:]
         if hash_axis is not None:

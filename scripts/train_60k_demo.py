@@ -119,6 +119,13 @@ VARIANTS = {
     # 9-round stack at ~zero step cost)
     "nh2r8cv2": dict(static_keys="x0", static_rounds=8, n_hashes=2,
                      kernel_center=True, _attn_impl="hybrid2"),
+    # headline + row-gather unsort WITHOUT canon (every round gathers by its
+    # own static inverse permutation) — an EXACT layout change
+    # (tests/test_unsort_rows.py::test_unsort_rows_non_canon), so a timer
+    # alone decides; no convergence arm needed.
+    "nh2r8cv2r": dict(static_keys="x0", static_rounds=8, n_hashes=2,
+                      kernel_center=True, unsort_rows=True,
+                      _attn_impl="hybrid2"),
     # full 12-round union (reference-level co-bucket recall 0.988,
     # probe_cobucket.py) at n_hashes=3 + center + v2 backward; no canon
     # (12 rounds exceeds the pinned-round-0 budget) so no unsort_rows

@@ -126,3 +126,35 @@ def test_unsort_rows_with_static_rounds():
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("pack", [False, True])
+def test_unsort_rows_non_canon(pack):
+    """rows WITHOUT canon_residual (the nh2r8 headline stacks, where pinning
+    round 0 would shrink the static-round union): every round gathers by its
+    own inverse permutation; must match the sort-carry unsort forward and
+    backward."""
+    x, coords, valid = _event(seed=7)
+    kw = dict(canon_residual=False, n_hashes=2, static_rounds=4,
+              sort_pack=pack, unsort_pack=pack)
+    m0 = HeptTransformer(_cfg(unsort_rows=False, **kw))
+    m1 = HeptTransformer(_cfg(unsort_rows=True, **kw))
+    v = m0.init(jax.random.PRNGKey(4), x, coords, valid)
+
+    def loss(m):
+        def f(params):
+            out = m.apply({"params": params, "constants": v["constants"]},
+                          x, coords, valid)
+            return (out ** 2).sum(), out
+
+        return jax.value_and_grad(f, has_aux=True)(v["params"])
+
+    (l0, o0), g0 = loss(m0)
+    (l1, o1), g1 = loss(m1)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
