@@ -1,6 +1,7 @@
 #!/bin/bash
-# After queue16: timer for the non-canon row-gather unsort on the headline
-# stack (nh2r8cv2r) — exact layout change, timer-only decision.
+# After queue16: timers for the non-canon row-gather unsort (exact layout
+# change, timer-only decision) on the headline (nh2r8cv2r) and the
+# accuracy Pareto point (r12cv2r).
 # Usage: nohup bash scripts/tpu_queue17.sh > /tmp/tpu_queue17.log 2>&1 &
 cd /root/repo
 wait_for() {
@@ -13,9 +14,11 @@ wait_for() {
   done
 }
 wait_for /tmp/tpu_queue16.log "queue16 done"
-echo "[$(date +%H:%M:%S)] queue16 done; nh2r8cv2r timer"
-timeout 1800 python scripts/time_step_variant.py nh2r8cv2r \
-  > /tmp/time_nh2r8cv2r.log 2>&1
-echo "timer rc=$?"; grep STEP_MS /tmp/time_nh2r8cv2r.log \
-  || tail -n 2 /tmp/time_nh2r8cv2r.log
+echo "[$(date +%H:%M:%S)] queue16 done; rows timers"
+for v in nh2r8cv2r r12cv2r; do
+  timeout 1800 python scripts/time_step_variant.py "$v" \
+    > "/tmp/time_${v}.log" 2>&1
+  echo "timer $v rc=$?"; grep STEP_MS "/tmp/time_${v}.log" \
+    || tail -n 2 "/tmp/time_${v}.log"
+done
 echo "[$(date +%H:%M:%S)] queue17 done"

@@ -131,6 +131,9 @@ VARIANTS = {
     # (12 rounds exceeds the pinned-round-0 budget) so no unsort_rows
     "r12cv2": dict(static_keys="x0", static_rounds=12, kernel_center=True,
                    _attn_impl="hybrid2"),
+    # r12cv2 + non-canon row-gather unsort (exact layout change; timer-only)
+    "r12cv2r": dict(static_keys="x0", static_rounds=12, kernel_center=True,
+                    unsort_rows=True, _attn_impl="hybrid2"),
     # OR width 1: each layer a single static round (4 rounds used/step) —
     # kernel+unsort cost halves again vs nh2, but per-layer co-bucket
     # recall drops to ~0.52 and the 4-round union to 0.920
