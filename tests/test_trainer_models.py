@@ -59,7 +59,8 @@ def test_all_yaml_configs_load():
 
     cfg_dir = Path(__file__).parent.parent / "hept_tpu" / "configs"
     files = sorted(cfg_dir.rglob("*.yaml"))
-    assert len(files) == 24
+    # 24 reference-mirroring configs + 2 TPU fast-stack profiles (hept_fast)
+    assert len(files) == 26
     for f in files:
         cfg = load_config(f)
         assert cfg.model_name
@@ -67,3 +68,8 @@ def test_all_yaml_configs_load():
         if cfg.model_name.startswith("trans_"):
             mc = cfg.model_config(in_dim=15, coords_dim=6)
             assert mc.h_dim > 0
+        if f.stem.endswith("_fast"):
+            mc = cfg.model_config(in_dim=15, coords_dim=6)
+            # fast profiles must encode the validated headline stack
+            assert mc.static_keys == "x0" and mc.static_rounds == 8
+            assert mc.kernel_bf16 and mc.kernel_center and mc.share_heads
