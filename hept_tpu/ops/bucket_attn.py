@@ -276,7 +276,8 @@ def hept_attention_core_cols(
     sk = skv[:, :, :d_hash].reshape(c * h, d_hash, n)
     sv = skv[:, :, d_hash:].reshape(c * h, dv, n)
 
-    if impl in ("pallas", "hybrid", "hybrid2", "slab", "slab2", "hybrid_slab") \
+    if impl in ("pallas", "hybrid", "hybrid2", "hybrid2l", "loop2", "slab",
+                "slab2", "hybrid_slab") \
             and jax.default_backend() == "tpu":
         from .bucket_attn_pallas import bucket_rbf_attention_cols_pallas
 
@@ -747,7 +748,8 @@ def hept_attention_core_xcols(
             preferred_element_type=ptype,
         ).reshape(c * h * n_ev, dv, ne)
 
-    if impl in ("pallas", "hybrid", "hybrid2", "slab", "slab2", "hybrid_slab") \
+    if impl in ("pallas", "hybrid", "hybrid2", "hybrid2l", "loop2", "slab",
+                "slab2", "hybrid_slab") \
             and jax.default_backend() == "tpu":
         from .bucket_attn_pallas import bucket_rbf_attention_cols_pallas
 

@@ -438,64 +438,151 @@ def _bwd_cols_kernel_v2(
     dv keeps the single rounded pt (that matches the forward's own p→bf16
     cast before the value matmul).
     """
+    for i in range(g):
+        _bwd_v2_bucket(
+            i, q_ref, k_ref, v_ref, gso_ref, gden_ref, dq_ref, dk_ref, dv_ref
+        )
+
+
+def _bwd_v2_bucket(i, q_ref, k_ref, v_ref, gso_ref, gden_ref,
+                   dq_ref, dk_ref, dv_ref):
+    """One bucket of the v2 backward (shared by the unrolled kernel and the
+    fori_loop kernel — identical math, so the 60k convergence evidence for
+    hybrid2 carries over to the loop scheduling)."""
     bs = q_ref.shape[-1]
     f32 = jnp.float32
     bdt = q_ref.dtype  # bfloat16
     ones_row = jnp.ones((1, bs), bdt)
-    for i in range(g):
-        q = q_ref[0, :, i, :]  # (d, Bq)
+    q = q_ref[0, :, i, :]  # (d, Bq)
+    k = k_ref[0, :, i, :]
+    v = v_ref[0, :, i, :]
+    g_so = gso_ref[0, :, i, :]  # (dv, Bq)
+    g_den = gden_ref[0:1, 0, i, :]  # (1, Bq) f32
+    d = q.shape[0]
+    qf = q.astype(f32)
+    kf = k.astype(f32)
+    ones_d = jnp.ones((1, d), f32)
+    ones_dc = jnp.ones((d, 1), f32)
+    q_sq = -0.5 * jax.lax.dot_general(  # (1, Bq) lane row
+        ones_d, qf * qf, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
+    )
+    k_sq_col = -0.5 * jax.lax.dot_general(  # (Bk, 1) sublane column
+        kf * kf, ones_dc, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
+    )
+    logits_t = (
+        jax.lax.dot_general(  # (Bk, Bq) bf16 MXU, f32 accum
+            k, q, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        )
+        + k_sq_col
+        + q_sq
+    )
+    pt = jnp.exp(jnp.minimum(logits_t, 0.0))
+    gp = (
+        jax.lax.dot_general(  # (Bk, Bq)
+            v, g_so, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        )
+        + g_den.astype(f32)
+    )
+    dlt = jnp.where(logits_t < 0.0, pt * gp, 0.0)  # f32
+    hi = dlt.astype(bdt)
+    lo = (dlt - hi.astype(f32)).astype(bdt)
+    ka = jnp.concatenate([k, ones_row], axis=0)  # (d+1, Bk)
+    qa = jnp.concatenate([q, ones_row], axis=0)  # (d+1, Bq)
+    dqa = jax.lax.dot_general(  # (d+1, Bq): rows 0..d-1 dq_dot, row d Σdl
+        ka, hi, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+    ) + jax.lax.dot_general(
+        ka, lo, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+    )
+    dka = jax.lax.dot_general(  # (d+1, Bk)
+        qa, hi, (((1,), (1,)), ((), ())), preferred_element_type=f32,
+    ) + jax.lax.dot_general(
+        qa, lo, (((1,), (1,)), ((), ())), preferred_element_type=f32,
+    )
+    dq_ref[0, :, i, :] = dqa[:d] - dqa[d : d + 1] * qf
+    dk_ref[0, :, i, :] = dka[:d] - dka[d : d + 1] * kf
+    dv_ref[0, :, i, :] = jax.lax.dot_general(  # (dv, Bk)
+        g_so, pt.astype(bdt), (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )
+
+
+def _bwd_cols_kernel_v2_loop(
+    q_ref, k_ref, v_ref, gso_ref, gden_ref, dq_ref, dk_ref, dv_ref, *, g: int
+):
+    """fori_loop scheduling of the v2 backward: identical per-bucket math
+    (`_bwd_v2_bucket`), but Mosaic reuses the loop body's temporaries, so g
+    is VMEM-bounded by ONE bucket's working set instead of g unrolled copies
+    — lifting the g=8 cap that made the unrolled kernel per-grid-step
+    latency-bound (~6.5 us/step x r·nb/8 steps; scripts/probe_kernel_g.py)."""
+
+    def body(i, _):
+        _bwd_v2_bucket(
+            i, q_ref, k_ref, v_ref, gso_ref, gden_ref, dq_ref, dk_ref, dv_ref
+        )
+        return 0
+
+    jax.lax.fori_loop(0, g, body, 0)
+
+
+def _fwd_cols_kernel_loop(q_ref, k_ref, v_ref, denom_ref, so_ref, *, g: int):
+    """fori_loop forward for bf16 operands with the v2 backward's numerics
+    (bf16 MXU dot + EXACT f32 bias broadcasts): p never leaves VMEM (the
+    hybrid XLA-einsum forward materializes it in HBM), and the recomputed p
+    in the v2 backward agrees with this forward by construction. A (small)
+    forward-numerics change vs the hybrid einsum forward (which rides
+    augmented bf16 rows) — convergence-armed before production use."""
+    f32 = jnp.float32
+    bdt = q_ref.dtype
+
+    def body(i, _):
+        q = q_ref[0, :, i, :]
         k = k_ref[0, :, i, :]
         v = v_ref[0, :, i, :]
-        g_so = gso_ref[0, :, i, :]  # (dv, Bq)
-        g_den = gden_ref[0:1, 0, i, :]  # (1, Bq) f32
         d = q.shape[0]
         qf = q.astype(f32)
         kf = k.astype(f32)
         ones_d = jnp.ones((1, d), f32)
         ones_dc = jnp.ones((d, 1), f32)
-        q_sq = -0.5 * jax.lax.dot_general(  # (1, Bq) lane row
+        q_sq = -0.5 * jax.lax.dot_general(
             ones_d, qf * qf, (((1,), (0,)), ((), ())),
             preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
         )
-        k_sq_col = -0.5 * jax.lax.dot_general(  # (Bk, 1) sublane column
+        k_sq_col = -0.5 * jax.lax.dot_general(
             kf * kf, ones_dc, (((0,), (0,)), ((), ())),
             preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
         )
         logits_t = (
-            jax.lax.dot_general(  # (Bk, Bq) bf16 MXU, f32 accum
+            jax.lax.dot_general(
                 k, q, (((0,), (0,)), ((), ())), preferred_element_type=f32,
             )
             + k_sq_col
             + q_sq
         )
         pt = jnp.exp(jnp.minimum(logits_t, 0.0))
-        gp = (
-            jax.lax.dot_general(  # (Bk, Bq)
-                v, g_so, (((0,), (0,)), ((), ())), preferred_element_type=f32,
-            )
-            + g_den.astype(f32)
-        )
-        dlt = jnp.where(logits_t < 0.0, pt * gp, 0.0)  # f32
-        hi = dlt.astype(bdt)
-        lo = (dlt - hi.astype(f32)).astype(bdt)
-        ka = jnp.concatenate([k, ones_row], axis=0)  # (d+1, Bk)
-        qa = jnp.concatenate([q, ones_row], axis=0)  # (d+1, Bq)
-        dqa = jax.lax.dot_general(  # (d+1, Bq): rows 0..d-1 dq_dot, row d Σdl
-            ka, hi, (((1,), (0,)), ((), ())), preferred_element_type=f32,
-        ) + jax.lax.dot_general(
-            ka, lo, (((1,), (0,)), ((), ())), preferred_element_type=f32,
-        )
-        dka = jax.lax.dot_general(  # (d+1, Bk)
-            qa, hi, (((1,), (1,)), ((), ())), preferred_element_type=f32,
-        ) + jax.lax.dot_general(
-            qa, lo, (((1,), (1,)), ((), ())), preferred_element_type=f32,
-        )
-        dq_ref[0, :, i, :] = dqa[:d] - dqa[d : d + 1] * qf
-        dk_ref[0, :, i, :] = dka[:d] - dka[d : d + 1] * kf
-        dv_ref[0, :, i, :] = jax.lax.dot_general(  # (dv, Bk)
-            g_so, pt.astype(bdt), (((1,), (1,)), ((), ())),
+        denom_ref[0, 0, i, :] = jnp.sum(pt, axis=0) + DENOM_EPS
+        so_ref[0, :, i, :] = jax.lax.dot_general(  # v (dv,Bk) @ pt -> (dv,Bq)
+            v, pt.astype(bdt), (((1,), (0,)), ((), ())),
             preferred_element_type=f32,
         )
+        return 0
+
+    jax.lax.fori_loop(0, g, body, 0)
+
+
+def _pick_group_loop(nb: int, bytes_per_bucket: int,
+                     cap: int = 8 << 20) -> int:
+    """Buckets per grid step for the fori_loop kernels: the largest divisor
+    of nb satisfying the Pallas block rule (multiple of 8, or the whole
+    axis) whose double-buffered block bytes fit the VMEM budget. Returns 0
+    if none (callers fall back to the unrolled kernels)."""
+    for g in range(nb, 7, -1):
+        if nb % g or not (g % 8 == 0 or g == nb):
+            continue
+        if 2 * g * bytes_per_bucket <= cap:
+            return g
+    return 0
 
 
 def _fwd_slab_kernel(q_ref, k_ref, v_ref, denom_ref, so_ref, *, bs: int):
@@ -1003,7 +1090,7 @@ def _make_cols_pallas(bs: int, mode: str = "pallas"):
         f2.defvjp(lambda sq, sk, sv: (_fwd2(sq, sk, sv), (sq, sk, sv)),
                   _bwd2)
         return f2
-    hybrid = mode in ("hybrid", "hybrid2", "hybrid_slab")
+    hybrid = mode in ("hybrid", "hybrid2", "hybrid2l", "hybrid_slab")
     if hybrid:
         # Hybrid forward: XLA's batched einsum runs the 14400 small per-
         # bucket matmuls as one big MXU batch (6.0 vs 10.2 ms at tracking-
@@ -1025,14 +1112,21 @@ def _make_cols_pallas(bs: int, mode: str = "pallas"):
             return _fwd_slab_impl(sq, sk, sv, bs, slab_g)
     else:
         def _fwd(sq, sk, sv):
-            return _fwd_cols_impl(sq, sk, sv, bs)
+            # loop2: fori_loop forward (p stays in VMEM, g unbounded by
+            # unrolled temporaries); falls back to the unrolled kernel for
+            # f32 operands or when no legal loop g exists.
+            return _fwd_cols_impl(sq, sk, sv, bs, loop=(mode == "loop2"))
 
     if mode in ("slab", "hybrid_slab"):
         def _bwd(residuals, grads):
             return _bwd_slab_impl(residuals, grads, bs, slab_g)
     else:
         def _bwd(residuals, grads):
-            return _bwd_cols_impl(residuals, grads, bs, v2=(mode == "hybrid2"))
+            return _bwd_cols_impl(
+                residuals, grads, bs,
+                v2=mode in ("hybrid2", "hybrid2l", "loop2"),
+                loop=mode in ("hybrid2l", "loop2"),
+            )
 
     @jax.custom_vjp
     def f(sq, sk, sv):
@@ -1078,15 +1172,24 @@ def bucket_rbf_attention_cols_pallas(sq: Array, sk: Array, sv: Array, *,
     return fn(sq, sk, sv)
 
 
-def _fwd_cols_impl(sq: Array, sk: Array, sv: Array, bs: int):
+def _fwd_cols_impl(sq: Array, sk: Array, sv: Array, bs: int,
+                   loop: bool = False):
     r, d, n = sq.shape
     dv = sv.shape[1]
     nb = n // bs
     g = _pick_group(nb)
     nb_pad = nb if g else -(-nb // 8) * 8
     g = g or _pick_group(nb_pad)
+    kernel_fn = _fwd_cols_kernel
+    if loop and sq.dtype == jnp.bfloat16:
+        in_bytes = bs * (2 * d + dv) * sq.dtype.itemsize
+        out_bytes = bs * 4 * (1 + dv)
+        g_loop = _pick_group_loop(nb_pad, in_bytes + out_bytes)
+        if g_loop > g:
+            g = g_loop
+            kernel_fn = _fwd_cols_kernel_loop
     grid = (r, nb_pad // g)
-    kernel = functools.partial(_fwd_cols_kernel, g=g)
+    kernel = functools.partial(kernel_fn, g=g)
     sq = _pad_buckets(sq.reshape(r, d, nb, bs), nb_pad)
     sk = _pad_buckets(sk.reshape(r, d, nb, bs), nb_pad)
     sv = _pad_buckets(sv.reshape(r, dv, nb, bs), nb_pad)
@@ -1118,7 +1221,8 @@ def _fwd_cols_impl(sq: Array, sk: Array, sv: Array, bs: int):
     )
 
 
-def _bwd_cols_impl(residuals, grads, bs, v2: bool = False):
+def _bwd_cols_impl(residuals, grads, bs, v2: bool = False,
+                   loop: bool = False):
     sq, sk, sv = residuals
     g_denom, g_so = grads
     in_dt = (sq.dtype, sk.dtype, sv.dtype)
@@ -1148,9 +1252,19 @@ def _bwd_cols_impl(residuals, grads, bs, v2: bool = False):
     g = _pick_group(nb)
     nb_pad = nb if g else -(-nb // 8) * 8
     g = g or _pick_group(nb_pad)
+    kernel_fn = _bwd_cols_kernel_v2 if v2 else _bwd_cols_kernel
+    if loop and v2:
+        # fori_loop scheduling: same per-bucket math, far larger g (fewer
+        # grid steps -> per-step overhead amortized; _bwd_cols_kernel_v2_loop)
+        in_bytes = bs * (2 * d * sq.dtype.itemsize + dv * sv.dtype.itemsize
+                         + dv * g_so.dtype.itemsize + 4)
+        out_bytes = bs * 4 * (2 * d + dv)
+        g_loop = _pick_group_loop(nb_pad, in_bytes + out_bytes)
+        if g_loop > g:
+            g = g_loop
+            kernel_fn = _bwd_cols_kernel_v2_loop
     grid = (r, nb_pad // g)
-    kernel = functools.partial(
-        _bwd_cols_kernel_v2 if v2 else _bwd_cols_kernel, g=g)
+    kernel = functools.partial(kernel_fn, g=g)
     sq = _pad_buckets(sq.reshape(r, d, nb, bs), nb_pad)
     sk = _pad_buckets(sk.reshape(r, d, nb, bs), nb_pad)
     sv = _pad_buckets(sv.reshape(r, dv, nb, bs), nb_pad)

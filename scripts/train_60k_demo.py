@@ -126,6 +126,18 @@ VARIANTS = {
     "nh2r8cv2r": dict(static_keys="x0", static_rounds=8, n_hashes=2,
                       kernel_center=True, unsort_rows=True,
                       _attn_impl="hybrid2"),
+    # fori_loop kernel scheduling (g-lift): hybrid2l = loop v2 backward
+    # (EXACT v2 math, timer-only); loop2 = loop fwd + loop bwd (fwd bias
+    # transport differs at ~bf16² — needs a 60k arm if its timer wins)
+    "nh2r8cv2l": dict(static_keys="x0", static_rounds=8, n_hashes=2,
+                      kernel_center=True, _attn_impl="hybrid2l"),
+    "nh2r8cv2L2": dict(static_keys="x0", static_rounds=8, n_hashes=2,
+                       kernel_center=True, _attn_impl="loop2"),
+    # loop scheduling + non-canon row unsort combined (the candidate next
+    # headline if both timers win)
+    "nh2r8cv2rl": dict(static_keys="x0", static_rounds=8, n_hashes=2,
+                       kernel_center=True, unsort_rows=True,
+                       _attn_impl="hybrid2l"),
     # full 12-round union (reference-level co-bucket recall 0.988,
     # probe_cobucket.py) at n_hashes=3 + center + v2 backward; no canon
     # (12 rounds exceeds the pinned-round-0 budget) so no unsort_rows

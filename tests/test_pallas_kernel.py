@@ -522,3 +522,54 @@ class TestSlabKernels:
             np.asarray(den_p), np.asarray(den_x), rtol=3e-2, atol=1e-2)
         np.testing.assert_allclose(
             np.asarray(so_p), np.asarray(so_x), rtol=5e-2, atol=3e-2)
+
+
+class TestLoopKernels:
+    def test_loop_modes_match_hybrid(self):
+        """fori_loop-scheduled kernels (hybrid2l: loop v2 backward; loop2:
+        loop forward + loop v2 backward) must match the per-bucket hybrid
+        path forward and backward. hybrid2l's backward is the EXACT v2 math
+        under loop scheduling (shared `_bwd_v2_bucket` body); loop2's
+        forward differs from the hybrid einsum forward only in the bias
+        transport (exact f32 broadcasts vs augmented bf16 hi/lo rows)."""
+        from hept_tpu.ops.bucket_attn_pallas import (
+            _pick_group_loop,
+            bucket_rbf_attention_cols_pallas,
+        )
+
+        r, d, dv, nb, bs = 2, 5, 4, 32, 8
+        assert _pick_group_loop(nb, bs * (2 * d + 2 * dv + 1) * 4) > 8
+        n = nb * bs
+        ks = jax.random.split(jax.random.PRNGKey(11), 3)
+        sq = _rand(ks[0], (r, d, n)).astype(jnp.bfloat16)
+        sk = _rand(ks[1], (r, d, n)).astype(jnp.bfloat16)
+        sv = _rand(ks[2], (r, dv, n)).astype(jnp.bfloat16)
+
+        def make_loss(mode):
+            def loss(sq, sk, sv):
+                den, so = bucket_rbf_attention_cols_pallas(
+                    sq, sk, sv, block_size=bs, hybrid=mode)
+                return jnp.sum(so / den) + jnp.sum(jnp.log(den))
+            return loss
+
+        with _ctx():
+            (l_ref, g_ref) = jax.value_and_grad(
+                make_loss("hybrid2"), argnums=(0, 1, 2))(sq, sk, sv)
+            (l_l, g_l) = jax.value_and_grad(
+                make_loss("hybrid2l"), argnums=(0, 1, 2))(sq, sk, sv)
+            (l_2, g_2) = jax.value_and_grad(
+                make_loss("loop2"), argnums=(0, 1, 2))(sq, sk, sv)
+        # hybrid2l: identical math to hybrid2 (scheduling only)
+        np.testing.assert_allclose(float(l_l), float(l_ref), rtol=1e-6)
+        for a, b, nm in zip(g_ref, g_l, ("dq", "dk", "dv")):
+            np.testing.assert_allclose(
+                np.asarray(b, np.float32), np.asarray(a, np.float32),
+                rtol=1e-5, atol=1e-5, err_msg=f"hybrid2l {nm}")
+        # loop2: forward bias transport differs at ~bf16² -> loose tol
+        np.testing.assert_allclose(float(l_2), float(l_ref), rtol=2e-2)
+        for a, b, nm in zip(g_ref, g_2, ("dq", "dk", "dv")):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            scale = max(np.abs(a).max(), 1e-6)
+            np.testing.assert_allclose(
+                b, a, rtol=2e-2, atol=2e-2 * scale, err_msg=f"loop2 {nm}")
