@@ -54,7 +54,12 @@ class TransformerConfig:
     # slab kernels fwd+bwd — one big MXU dot per g buckets, no serial
     # per-bucket chain) | "hybrid_slab" (xla fwd + slab bwd) | "hybrid2"
     # (xla fwd + bf16-operand Pallas bwd with f32-grade numerics — hi/lo
-    # dlt split + exact f32 bias broadcasts; _bwd_cols_kernel_v2)
+    # dlt split + exact f32 bias broadcasts; _bwd_cols_kernel_v2) |
+    # "hybrid2l" (hybrid2 with the v2 backward fori_loop-scheduled: same
+    # math, g unbounded by unrolled temporaries — fewer grid steps) |
+    # "loop2" (fori_loop fwd + fori_loop v2 bwd; p never leaves VMEM; fwd
+    # bias transport differs from the einsum fwd at ~bf16² — convergence-
+    # armed before production use)
     attn_impl: str = "xla"
     sort_pack: bool = False  # bf16-packed sort payloads in HEPT attention
     sort_ops: int = 1  # payload operands per sort call (see grouped_sort_carry)
