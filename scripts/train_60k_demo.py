@@ -114,6 +114,15 @@ VARIANTS = {
                      block_size=128, _attn_impl="slab2"),
     "nh2r8bs128": dict(static_keys="x0", static_rounds=8, n_hashes=2,
                        block_size=128, _attn_impl="slab2"),
+    # bs128 composed with center / non-canon rows (headline candidates:
+    # the bs128 arm scored 0.9391 @ 124.6 ms vs bs100's 0.9341 @ 124.5 —
+    # bigger buckets buy recall at the same step cost via slab2 kernels)
+    "nh2r8bs128c": dict(static_keys="x0", static_rounds=8, n_hashes=2,
+                        block_size=128, kernel_center=True,
+                        _attn_impl="slab2"),
+    "nh2r8bs128cr": dict(static_keys="x0", static_rounds=8, n_hashes=2,
+                         block_size=128, kernel_center=True,
+                         unsort_rows=True, _attn_impl="slab2"),
     # accuracy-recovery candidates on the headline stack:
     # nh2r8v2 + per-bucket RPE centering (centering was worth ~+0.3 on the
     # 9-round stack at ~zero step cost)
