@@ -139,6 +139,10 @@ def main():
             # floor at trained sqrt_w scales; ~zero step cost and
             # 60k-validated on this exact stack (nh2r8cv2: acc@0.9 0.9341
             # @ 124.5 ms vs nh2r8v2 0.9334 @ 123.6)
+            unsort_rows=True,  # row-gather unsort per static round: EXACT
+            # layout change (tests/test_unsort_rows.py non-canon case), so
+            # nh2r8cv2's convergence evidence carries; step 124.5 -> 95.6 ms
+            # (queue18 timer nh2r8cv2r: 627.9k pts/s)
         )
         base.update(overrides)
         return TransformerConfig(**base)
