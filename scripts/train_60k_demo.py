@@ -164,6 +164,17 @@ VARIANTS = {
                     _attn_impl="hybrid2"),
     "nh1r4cv2": dict(static_keys="x0", static_rounds=4, n_hashes=1,
                      kernel_center=True, _attn_impl="hybrid2"),
+    # nh1 + rows (exact layout change on the nh1 stack; timer-only if the
+    # nh1r4cv2 arm holds — the OR1 speed point with the rows unsort win)
+    "nh1r4cv2r": dict(static_keys="x0", static_rounds=4, n_hashes=1,
+                      kernel_center=True, unsort_rows=True,
+                      _attn_impl="hybrid2"),
+    # bs128 slab2 + center + rows at OR2/8 rounds was queued in queue20; the
+    # nh2r8bs128cr timer decides whether it displaces nh2r8cv2r on accuracy
+    # at equal speed. bs128 composed with nh1 (speed-max candidate):
+    "nh1r4bs128cr": dict(static_keys="x0", static_rounds=4, n_hashes=1,
+                         block_size=128, kernel_center=True,
+                         unsort_rows=True, _attn_impl="slab2"),
 }
 def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "full"
