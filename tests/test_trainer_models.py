@@ -73,3 +73,4 @@ def test_all_yaml_configs_load():
             # fast profiles must encode the validated headline stack
             assert mc.static_keys == "x0" and mc.static_rounds == 8
             assert mc.kernel_bf16 and mc.kernel_center and mc.share_heads
+            assert mc.unsort_rows
