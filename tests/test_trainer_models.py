@@ -60,7 +60,8 @@ def test_all_yaml_configs_load():
     cfg_dir = Path(__file__).parent.parent / "hept_tpu" / "configs"
     files = sorted(cfg_dir.rglob("*.yaml"))
     # 24 reference-mirroring configs + 2 TPU fast-stack profiles (hept_fast)
-    assert len(files) == 26
+    # + the OR1 speed-max profile (hept_turbo)
+    assert len(files) == 27
     for f in files:
         cfg = load_config(f)
         assert cfg.model_name
@@ -74,3 +75,8 @@ def test_all_yaml_configs_load():
             assert mc.static_keys == "x0" and mc.static_rounds == 8
             assert mc.kernel_bf16 and mc.kernel_center and mc.share_heads
             assert mc.unsort_rows
+        if f.stem.endswith("_turbo"):
+            mc = cfg.model_config(in_dim=15, coords_dim=6)
+            # OR1 speed-max: one round per layer, 4-round union
+            assert mc.n_hashes == 1 and mc.static_rounds == 4
+            assert mc.static_keys == "x0" and mc.unsort_rows
