@@ -213,7 +213,13 @@ def _u32_to_cols(rows: Array, d: int, pack, out_bf16: bool = False) -> Array:
 
 
 # Max payload operands per variadic lax.sort call (see chunking note below).
-_MAX_SORT_OPS = 20
+# XLA scopes ~0.5 MB VMEM per operand with a 16 MB budget (hard fail at 32
+# operands, measured); 20 is the validated-safe default. Env-overridable so
+# the parity-mode chunk-size experiment (fewer comparator re-runs per f32
+# 25-31-operand group) can A/B without a code change.
+import os as _os
+
+_MAX_SORT_OPS = int(_os.environ.get("HEPT_MAX_SORT_OPS", "20"))
 
 
 def _grouped_sort_impl(keys_list, payload_list, pack, n_ops=1,

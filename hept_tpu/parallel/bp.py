@@ -1,0 +1,171 @@
+"""Bucket-axis intra-event sequence parallelism (SURVEY §2.9 "stretch" SP).
+
+After the LSH bucket sort, HEPT attention is block-diagonal over the
+(rounds × n_buckets) grid of independent block_size×block_size tiles
+(SURVEY §5: "shardable across chips with one gather and one scatter-add per
+layer" — the HEPT-shaped analogue of ring attention). head-TP and hash-TP
+(parallel/tp.py) cap intra-event scaling at num_heads × n_hashes chips and
+shrink to 2-8 under the fast stack; sharding the bucket grid itself has no
+such cap — P chips each own nb/P whole buckets of every round.
+
+Decomposition per layer (this prototype):
+  replicated  — E2LSH keys + the global bucket sort (`grouped_sort_carry`):
+                every chip computes the same sorted [x|coords] copy. This is
+                the Amdahl term (~1/3 of a layer on v5e, BASELINE.md); a
+                distributed multi-chip sort would remove it (future work —
+                requires a sharded merge network over ICI).
+  sharded     — the per-head projections + RPE fold + the per-bucket RBF
+                kernel (the MXU-hot ~2/3): each chip slices its contiguous
+                ne/P slab of the sorted axis (whole buckets, so tiles never
+                cross chips) and attends locally with ZERO communication.
+  collective  — ONE tiled `all_gather` of the local [num | denom] slabs over
+                the bucket axis per layer; the unsort back to input order
+                and the OR-combine across rounds then run replicated
+                (psum-free: the gather reassembles exact slabs, nothing is
+                summed across chips).
+
+Numerics match `hept_attention_core_xcols(share_heads=True)` exactly in f32
+(same op order per tile; the slab slice only re-groups the einsum batch).
+Gradients flow through `shard_map` (the all_gather transposes to a
+psum_scatter, the slice to a pad) — tested against the unsharded VJP.
+
+Reference semantics being sharded: hept.py:103-115 (argsort → bucketed
+qkv_res → unsort → OR-combine), reference has no distributed analogue
+(SURVEY §2.9: "What the reference has: none").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.buckets import grouped_sort_carry
+from ..ops.bucket_attn import bucket_rbf_attention_cols_xla, stable_ratio
+
+
+def make_bucket_sharded_attention(
+    mesh: Mesh,
+    axis: str = "buckets",
+    *,
+    block_size: int,
+    sort_ops: int = 8,
+):
+    """Build a bucket-sharded `share_heads`-style HEPT attention layer.
+
+    Returns fn(x_cols, coords_cols, wq, wk, wv, sqrt_w, alpha, codes,
+    invalid) -> (h, dv, n) matching `hept_attention_core_xcols` with
+    share_heads=True, f32 transport, XLA kernels; all inputs replicated
+    (P()), output replicated. n must be a multiple of
+    mesh.shape[axis] * block_size.
+    """
+    n_shards = mesh.shape[axis]
+
+    def spmd(x_cols, coords_cols, wq, wk, wv, sqrt_w, alpha, codes, invalid):
+        h, d_model, d = wq.shape
+        cd = coords_cols.shape[0]
+        c = alpha.shape[-1]
+        n = x_cols.shape[-1]
+        dv = wv.shape[-1]
+        assert n % (n_shards * block_size) == 0, (
+            f"n={n} must divide by n_shards*block_size="
+            f"{n_shards * block_size}"
+        )
+
+        if invalid is not None:
+            keep = jnp.logical_not(invalid)[None, :]
+            x_cols = jnp.where(keep, x_cols, 0.0)
+            coords_cols = jnp.where(keep, coords_cols, 0.0)
+
+        # --- replicated: shared-grid E2LSH keys + ONE global bucket sort
+        # (identical math to the share_heads branch of
+        # ops/bucket_attn.py:hept_attention_core_xcols) ---
+        xc = jnp.concatenate([x_cols, coords_cols], axis=0)  # (d_xc, n)
+        d_xc = d_model + cd
+        a1, a2 = alpha[0, :d_model, :], alpha[0, d_model:, :]
+        gamma = sqrt_w.mean(axis=0)[:, None] * a2  # (cd, c)
+        hashed = jax.lax.stop_gradient(
+            jnp.einsum("ec,en->cn", a1, x_cols)
+            + jnp.einsum("rc,rn->cn", gamma, coords_cols)
+        )  # (c, n)
+        hash_shift = hashed.max(axis=1, keepdims=True) - hashed.min(
+            axis=1, keepdims=True
+        )
+        codes_s = jax.lax.stop_gradient(codes[:, 0]).astype(jnp.float32)
+        k_key = hashed + codes_s * hash_shift
+        if invalid is not None:
+            big = jnp.asarray(3.0e38, jnp.float32)
+            k_key = jnp.where(invalid[None, :], big, k_key)
+        (sxk,), (q_src,) = grouped_sort_carry(
+            [k_key[:, None]], [xc], pack=False, n_ops=sort_ops
+        )  # sxk (c, 1, d_xc, n); q_src (c, 1, n) — 2-D payload broadcasts
+        # over (hashes, heads=1) and its VJP sums the broadcast axes back
+
+        # --- sharded: each chip projects + attends its contiguous slab of
+        # whole buckets (zero communication) ---
+        idx = jax.lax.axis_index(axis)
+        ne_loc = n // n_shards
+        slab = jax.lax.dynamic_slice_in_dim(
+            sxk, idx * ne_loc, ne_loc, axis=-1
+        )  # (c, 1, d_xc, ne_loc)
+        sxs = slab[:, :, :d_model]  # (c, 1, d_model, ne_loc)
+        scs = slab[:, :, d_model:]  # (c, 1, cd, ne_loc)
+        rpe_sh = (
+            sqrt_w[None, None, :, :, None] * scs[:, :, None]
+        )  # (c, 1, h, cd, ne_loc)
+
+        def project(w):
+            proj = jnp.einsum(
+                "hed,cben->cbhdn", w, sxs,
+                preferred_element_type=jnp.float32,
+            )
+            return jnp.concatenate([proj, rpe_sh], axis=3)
+
+        sq = project(wq).reshape(c * h, d + cd, ne_loc)
+        sk = project(wk).reshape(c * h, d + cd, ne_loc)
+        sv = jnp.einsum(
+            "hed,cben->cbhdn", wv, sxs, preferred_element_type=jnp.float32
+        ).reshape(c * h, dv, ne_loc)
+        denom, so = bucket_rbf_attention_cols_xla(sq, sk, sv, block_size)
+        od_loc = jnp.concatenate([so, denom], axis=1)  # (c·h, dv+1, ne_loc)
+
+        # --- collective: reassemble the sorted axis. The scatter-add form
+        # (SURVEY §5: "one scatter-add (unsort) per layer"): each chip pads
+        # its slab into a zeroed full array and ONE psum sums the disjoint
+        # slabs. A tiled all_gather of the slabs moves P× fewer bytes, but
+        # its output is not statically replicated for shard_map's
+        # replication checker (whose types the transpose needs for correct
+        # gradients); psum is — and slabs are disjoint, so the sum is exact
+        # reassembly, not a reduction.
+        od = jax.lax.psum(
+            jax.lax.dynamic_update_slice_in_dim(
+                jnp.zeros(od_loc.shape[:2] + (n,), od_loc.dtype),
+                od_loc, idx * ne_loc, axis=2,
+            ),
+            axis,
+        )  # (c·h, dv+1, n)
+
+        # --- replicated: unsort to input order + OR-combine across rounds
+        # (same call shape as the share_heads unsort branch) ---
+        src_b = jnp.broadcast_to(
+            q_src[:, :, None], (c, 1, h, n)
+        ).reshape(c, h, n)
+        (odu,), _ = grouped_sort_carry(
+            [src_b], [od.reshape(c, h, dv + 1, n)], pack=False, n_ops=sort_ops
+        )
+        od_unsorted = odu.reshape(c, 1, h, dv + 1, n)
+        o, logits = od_unsorted[:, :, :, :dv], od_unsorted[:, :, :, dv:]
+        o_sum, l_sum = o.sum(axis=0), logits.sum(axis=0)
+        out = stable_ratio(o_sum, l_sum)  # (1, h, dv, n)
+        return out[0]  # (h, dv, n)
+
+    # NOTE: replication checking must stay ON — shard_map's transpose relies
+    # on the replication types to place the psum/psum_scatter correctly; with
+    # it off, the replicated-output cotangent is over-counted x n_shards
+    # through the all_gather transpose (observed 8x gradient mismatch).
+    return jax.shard_map(
+        spmd,
+        mesh=mesh,
+        in_specs=(P(),) * 9,
+        out_specs=P(),
+    )

@@ -446,9 +446,12 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
         )
         for sb in prefetch(batches, transfer=transfer_fn):
             state, metrics = train_step(state, sb)
-            epoch_losses.append(float(metrics["loss"]))
+            # keep device scalars; ONE host sync per epoch below. A float()
+            # here would cost a host round trip per step (visible through
+            # the remote TPU tunnel at ~100 ms-step scales).
+            epoch_losses.append(metrics["loss"])
 
-        train_loss = float(np.mean(epoch_losses))
+        train_loss = float(np.mean([float(l) for l in jax.device_get(epoch_losses)]))
         valid = evaluate(cfg, model_apply, state.variables, dataset, "valid",
                         block_size, n_max, e_max, eval_step=eval_step)
         logger.write(epoch, {"loss": train_loss, "epoch_sec": time.time() - t0},

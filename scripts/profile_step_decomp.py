@@ -36,10 +36,6 @@ from hept_tpu.train.state import TrainState
 N = 60_000
 rng = np.random.default_rng(0)
 ev = synthetic_tracking_event(rng, n_points=N, avg_track_size=8, pairs_per_point=16)
-batch = pack_events([ev], block_size=100, window_pairs=128)
-keys = ("x", "coords", "valid", "pairs", "pair_mask", "cluster_ids", "recons",
-        "pts", "pair_rev", "pair_weight", "pair_neg")
-bt = {k: jnp.asarray(batch[k][0]) for k in keys}
 
 _base = dict(
     in_dim=ev.x.shape[1], coords_dim=ev.coords.shape[1], task="tracking",
@@ -47,18 +43,28 @@ _base = dict(
     num_regions=150, num_w_per_dist=10, padding_mode="replicate",
     attn_impl="hybrid", scan_layers=True, sort_pack=True, sort_ops=8,
     qkv_post_sort=True, unsort_pack=True, shared_sort=True, share_heads=True,
-    kernel_bf16=True, static_keys="x0", canon_residual=True,
+    kernel_bf16=True,
 )
 if len(sys.argv) > 1:
     sys.path.insert(0, "/root/repo/scripts")
     from train_60k_demo import VARIANTS
 
+    # the variant dict is the single source of truth for the fast-mode
+    # stack — base carries NO static/canon flags (a nh1/nh2 variant without
+    # canon_residual must not inherit one; queue23 crash)
     vk = dict(VARIANTS[sys.argv[1]])
     _base["attn_impl"] = vk.pop("_attn_impl", "hybrid")
     vk.pop("_clip", None)
     vk.pop("_lr", None)
     _base.update(vk)
     print(f"variant {sys.argv[1]}: {vk}", flush=True)
+else:
+    _base.update(static_keys="x0", canon_residual=True)
+
+batch = pack_events([ev], block_size=_base["block_size"], window_pairs=128)
+keys = ("x", "coords", "valid", "pairs", "pair_mask", "cluster_ids", "recons",
+        "pts", "pair_rev", "pair_weight", "pair_neg")
+bt = {k: jnp.asarray(batch[k][0]) for k in keys}
 cfg = TransformerConfig(**_base)
 model = HeptTransformer(cfg)
 tx = make_optimizer("adam", lr=1e-2)

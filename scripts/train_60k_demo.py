@@ -175,13 +175,42 @@ VARIANTS = {
     "nh1r4bs128cr": dict(static_keys="x0", static_rounds=4, n_hashes=1,
                          block_size=128, kernel_center=True,
                          unsort_rows=True, _attn_impl="slab2"),
+    # ---- round-4 accuracy-composition arms (VERDICT r3 next #1): compose
+    # ALL the known accuracy levers at full strength — 12/16-round static
+    # union (reference-level co-bucket recall), bs128 slab2 kernels (+0.4-0.5
+    # pt at equal step cost), per-bucket centering, row-gather unsort —
+    # targeting a 3-seed mean >= 0.95 acc@0.9 at <= 150 ms.
+    "r12bs128cv2r": dict(static_keys="x0", static_rounds=12, block_size=128,
+                         kernel_center=True, unsort_rows=True,
+                         _attn_impl="slab2"),
+    # 16-round union at OR width 4: more per-layer OR coverage than the
+    # reference's 3 (union recall saturates ~0.99); kernel+unsort cost ∝
+    # n_hashes so ~4/3 of the r12 arm's step.
+    "r16bs128cv2r": dict(static_keys="x0", static_rounds=16, n_hashes=4,
+                         block_size=128, kernel_center=True,
+                         unsort_rows=True, _attn_impl="slab2"),
+    "r16cv2r": dict(static_keys="x0", static_rounds=16, n_hashes=4,
+                    kernel_center=True, unsort_rows=True,
+                    _attn_impl="hybrid2"),
+    # reference-parity mode (ALL validated divergences off — the bench.py
+    # --parity-only config): per-head per-layer hashing, independent q/k
+    # bucket sorts, f32 sort/unsort transport, f32 kernels. As a VARIANTS
+    # entry so profile_step_decomp / time_step_variant can decompose it
+    # (VERDICT r3 next #6: optimize parity to <= 400 ms).
+    "parity": dict(sort_pack=False, sort_ops=1, unsort_pack=False,
+                   shared_sort=False, share_heads=False, kernel_bf16=False,
+                   static_keys=False, n_hashes=3, _attn_impl="hybrid"),
 }
 def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "full"
     lr = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-2
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+    # dataset size (VERDICT r3 next #7: scale the convergence evidence
+    # beyond the 10-event toy — 50 events gives 40 train / 5 valid / 5 test)
+    n_events = int(sys.argv[4]) if len(sys.argv) > 4 else 10
+    epochs = int(sys.argv[5]) if len(sys.argv) > 5 else 25
 
-    ds = make_synthetic_tracking(n_events=10, n_points=60_000, seed=0,
+    ds = make_synthetic_tracking(n_events=n_events, n_points=60_000, seed=0,
                                  avg_track_size=8, pairs_per_point=16)
 
     vk = dict(VARIANTS[variant])
@@ -205,7 +234,7 @@ def main():
         optimizer_kwargs={"lr": lr, "clip_norm": clip_norm},
         lr_scheduler_name="step",
         lr_scheduler_kwargs={"step_size": 500, "gamma": 0.5},
-        num_epochs=25,
+        num_epochs=epochs,
         batch_size=1,
         batch_mode="flat",
         n_devices=1,
@@ -215,7 +244,7 @@ def main():
         attn_impl=attn_impl,
     )
     res = run_one_seed(cfg, dataset=ds)
-    print(f"RESULT tracking-60k [{variant} lr={lr:g} seed={seed}]: "
+    print(f"RESULT tracking-60k [{variant} lr={lr:g} seed={seed} n={n_events}x{epochs}ep]: "
           f"acc@0.9={res['accuracy@0.9']:.4f} "
           f"recall@0.9={res['recall@0.9']:.4f} "
           f"prec@0.9={res.get('precision@0.9', float('nan')):.4f} "
