@@ -173,16 +173,19 @@ def make_model_apply(model, model_cfg=None, batch_mode: str = "vmap"):
     return model_apply
 
 
-def make_eval_step(cfg, model_apply):
-    """One jitted device call per eval batch: forward + loss + (tracking)
-    retrieval metrics, so the eval loop issues no eager per-batch ops and
-    can defer every host read to the end of the split."""
+def make_eval_step(cfg, model_apply, chunk: int = 1):
+    """Jitted eval step: forward + loss + (tracking) retrieval metrics.
+
+    chunk == 1: one device call per eval batch (host reads still deferred to
+    the end of the split). chunk > 1: the returned step consumes `chunk`
+    STACKED batches and lax.map's the body over them — one device call (and
+    one tunnel dispatch) per chunk, so eval wall time stays flat as the
+    dataset grows (VERDICT r3 #9)."""
     loss_fn = make_loss_fn(cfg)
 
     if cfg.task == "tracking":
 
-        @jax.jit
-        def eval_step(variables, jb):
+        def body(variables, jb):
             out = model_apply(variables, jb)
             loss = loss_fn(out, jb)
             tm = tracking_metrics_batch(
@@ -190,14 +193,33 @@ def make_eval_step(cfg, model_apply):
             )  # (B, 3 thresholds, 3 metrics)
             return loss, tm
 
-        return eval_step
+    else:
 
-    @jax.jit
-    def eval_step(variables, jb):
-        out = model_apply(variables, jb)
-        return loss_fn(out, jb), out
+        def body(variables, jb):
+            out = model_apply(variables, jb)
+            return loss_fn(out, jb), out
 
-    return eval_step
+    steps: dict = {}
+
+    def get_step(g: int):
+        """Jitted step for a group of g batches. chunk == 1: the plain
+        per-batch body (callers pass one unstacked batch). chunk > 1: a
+        lax.map over a size-g stack — compiled once per distinct size (full
+        chunks plus at most one remainder size per split; no padding, so
+        small splits never pay repeated-batch eval compute)."""
+        if g not in steps:
+            if chunk == 1:
+                steps[g] = jax.jit(body)
+            else:
+                steps[g] = jax.jit(
+                    lambda variables, stacked: jax.lax.map(
+                        lambda jb: body(variables, jb), stacked
+                    )
+                )
+        return steps[g]
+
+    get_step.chunk = chunk
+    return get_step
 
 
 def evaluate(cfg, model_apply, variables, dataset: SplitDataset, split: str,
@@ -210,17 +232,57 @@ def evaluate(cfg, model_apply, variables, dataset: SplitDataset, split: str,
     """
     del eval_apply  # superseded by the fused eval_step
     if eval_step is None:
-        eval_step = make_eval_step(cfg, model_apply)
+        eval_step = make_eval_step(
+            cfg, model_apply, chunk=max(1, int(getattr(cfg, "eval_chunk", 1)))
+        )
+    chunk = getattr(eval_step, "chunk", 1)
+
+    def chunked(batches):
+        """Yield (device_result, n_real, group_batches) per eval_step call:
+        groups of up to `chunk` batches stacked on a new leading axis and
+        lax.map'ed in one device call (the remainder group runs at its own
+        exact size — no padding), or single batches when chunk == 1."""
+        grp = []
+        for batch in batches:
+            grp.append(batch)
+            if len(grp) == chunk:
+                yield _eval_call(eval_step, variables, grp), chunk, grp
+                grp = []
+        if grp:
+            yield _eval_call(eval_step, variables, grp), len(grp), grp
+
+    kw = dict(n_max=n_max)
+    if cfg.task == "tracking":
+        kw["e_max"] = e_max
+        kw["window_pairs"] = 128 if cfg.windowed_pairs else 0
+    # Eval batches are deterministic (no shuffling/augmentation), but the
+    # windowed pair packing is real host work (~seconds per 60k event) paid
+    # every epoch — cache the packed split on the dataset (train batches
+    # are NOT cached: augmentation re-packs them each epoch).
+    ck = (split, cfg.batch_size, block_size, n_max, e_max)
+    cache = getattr(dataset, "_eval_batch_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            dataset._eval_batch_cache = cache
+        except Exception:
+            pass
+    if ck not in cache:
+        cache[ck] = list(
+            dataset.iter_batches(split, cfg.batch_size, block_size, **kw)
+        )
+    batches = cache[ck]
     if cfg.task == "tracking":
         losses, tms = [], []
-        for batch in dataset.iter_batches(split, cfg.batch_size, block_size,
-                                          n_max=n_max, e_max=e_max,
-                                          window_pairs=128 if cfg.windowed_pairs else 0):
-            jb = jax.tree_util.tree_map(jnp.asarray, batch)
-            loss, tm = eval_step(variables, jb)
-            losses.append(loss)  # device scalars — one host sync at the end
+        for (loss, tm), n_real, _ in chunked(batches):
+            if chunk > 1:
+                loss, tm = loss[:n_real], tm[:n_real]
+                tm = tm.reshape(-1, *tm.shape[2:])
+            losses.append(loss)  # device arrays — one host sync at the end
             tms.append(tm)
-        losses = [float(l) for l in jax.device_get(losses)]
+        losses = np.concatenate(
+            [np.atleast_1d(np.asarray(l)) for l in jax.device_get(losses)]
+        ).tolist() if losses else []
         res = {"loss": float(np.mean(losses)) if losses else float("nan")}
         if tms:
             tm = np.concatenate(jax.device_get(tms), axis=0)  # (ΣB, 3, 3)
@@ -241,14 +303,17 @@ def evaluate(cfg, model_apply, variables, dataset: SplitDataset, split: str,
     # host-side (sort-based sklearn-style curves); device reads are deferred
     # to one sync at the end of the split.
     losses, outs, masks, ys = [], [], [], []
-    for batch in dataset.iter_batches(split, cfg.batch_size, block_size, n_max=n_max):
-        jb = jax.tree_util.tree_map(jnp.asarray, batch)
-        loss, out = eval_step(variables, jb)
-        losses.append(loss)
-        outs.append(out[..., 0])
-        masks.append(jb["is_neu"] & jb["valid"])
-        ys.append(jb["y"])
-    losses, outs, masks, ys = jax.device_get((losses, outs, masks, ys))
+    for (loss, out), n_real, grp in chunked(batches):
+        if chunk > 1:
+            losses.extend(loss[:n_real])
+            outs.extend(out[i, ..., 0] for i in range(n_real))
+        else:
+            losses.append(loss)
+            outs.append(out[..., 0])
+        for b in grp[:n_real]:
+            masks.append(np.asarray(b["is_neu"]) & np.asarray(b["valid"]))
+            ys.append(np.asarray(b["y"]))
+    losses, outs = jax.device_get((losses, outs))
     per_batch = []
     for out, mask, y in zip(outs, masks, ys):
         mask = np.asarray(mask)
@@ -259,6 +324,16 @@ def evaluate(cfg, model_apply, variables, dataset: SplitDataset, split: str,
     res = {k: float(np.mean([m[k] for m in per_batch])) for k in keys}
     res["loss"] = float(np.mean([float(l) for l in losses])) if losses else float("nan")
     return res
+
+
+def _eval_call(eval_step, variables, grp):
+    """Dispatch one eval_step call: a single unstacked batch (chunk == 1)
+    or a stacked size-len(grp) group for the lax.map'ed step."""
+    step = eval_step(len(grp))
+    if getattr(eval_step, "chunk", 1) == 1:
+        return step(variables, jax.tree_util.tree_map(jnp.asarray, grp[0]))
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *grp)
+    return step(variables, jax.tree_util.tree_map(jnp.asarray, stacked))
 
 
 def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) -> dict:
@@ -421,7 +496,9 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
         state = resume_ckpt.restore(state)
         log(f"resumed from step {int(state.step)}")
 
-    eval_step = make_eval_step(cfg, model_apply)
+    eval_step = make_eval_step(
+        cfg, model_apply, chunk=max(1, int(getattr(cfg, "eval_chunk", 1)))
+    )
     best = -np.inf if cfg.mode == "max" else np.inf
     best_test: dict = {}
     sign = 1.0 if cfg.mode == "max" else -1.0

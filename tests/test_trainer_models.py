@@ -60,8 +60,9 @@ def test_all_yaml_configs_load():
     cfg_dir = Path(__file__).parent.parent / "hept_tpu" / "configs"
     files = sorted(cfg_dir.rglob("*.yaml"))
     # 24 reference-mirroring configs + 2 TPU fast-stack profiles (hept_fast)
-    # + the OR1 speed-max profile (hept_turbo)
-    assert len(files) == 27
+    # + the OR1 speed-max profile (hept_turbo) + the accuracy-first profile
+    # (hept_acc: r12bs128cv2r, 0.9502 @ 138.8 ms — BASELINE.md round 4)
+    assert len(files) == 28
     for f in files:
         cfg = load_config(f)
         assert cfg.model_name
@@ -80,3 +81,9 @@ def test_all_yaml_configs_load():
             # OR1 speed-max: one round per layer, 4-round union
             assert mc.n_hashes == 1 and mc.static_rounds == 4
             assert mc.static_keys == "x0" and mc.unsort_rows
+        if f.stem.endswith("_acc"):
+            mc = cfg.model_config(in_dim=15, coords_dim=6)
+            # accuracy-first: full 12-round union at OR3, bs128 slab kernels
+            assert mc.n_hashes == 3 and mc.static_rounds == 12
+            assert mc.block_size == 128 and cfg.attn_impl == "slab2"
+            assert mc.kernel_center and mc.unsort_rows
