@@ -5,20 +5,25 @@ Prints ONE JSON line:
 
 Baseline: the reference repo records no numbers (BASELINE.md). We benchmark
 the same workload the reference's example notebook times (>60k-point events,
-reference hyperparameters block_size=100/n_hashes=3/8 heads/4 layers) but as
-a full *training* step (fwd + bwd + adam). `vs_baseline` is computed against
+reference hyperparameters 8 heads / 4 layers / h_dim 24) but as a full
+*training* step (fwd + bwd + adam). `vs_baseline` is computed against
 A100_TRAIN_POINTS_PER_SEC below — an estimate for the PyTorch reference on
 A100 documented in BASELINE.md; replace with a measured value when GPU
 hardware is available.
 
-The headline is the best points/sec over event-batch sizes {1, 2} using flat
-batching (batch-index AND codes) for B > 1. Measured (round 2): at 60k-point
-events flat batching does NOT amortize — the per-sort-call latency floors
-are already amortized at n=60k and sort cost grows superlinearly — so B=1
-wins (B=2: 77k vs B=1: 92k pts/s); the sweep keeps the comparison honest
-round over round. Also reported: single-event step/fwd latency, MFU (vs the
-v5e 197 TFLOP/s bf16 peak) and achieved HBM bandwidth from XLA's compiled
-cost analysis, so utilization is trackable.
+Round 4 reports TWO arms (the north star is throughput AT parity recall, so
+the headline is the accuracy-first arm; VERDICT r3 next #1):
+  headline  hept_acc (r12bs128cv2r): 12-round static union x OR3, bs128
+            slab2 kernels, center, row unsort — 60k acc@0.9 0.9502 @
+            138.8 ms (BASELINE.md round-4 matrix; 3-seed campaign in
+            runs/r4/). Reported as metric/value/vs_baseline, best over
+            event-batch sizes {1, 2} (stacked flat batching for B > 1).
+  fast      nh2r8cv2r (the round-3 headline, 0.9341 @ 95.6 ms) — reported
+            as step_ms_fast / pts_per_s_fast so the speed point stays
+            visible round over round.
+Also reported: single-event step/fwd latency, the 6k flat-batch line, the
+strict reference-parity-mode step, MFU (vs the v5e 197 TFLOP/s bf16 peak)
+and achieved HBM bandwidth from XLA's compiled cost analysis.
 """
 
 from __future__ import annotations
@@ -149,13 +154,25 @@ def main():
 
     parity_only = "--parity-only" in sys.argv
 
-    cfg = make_cfg()
+    # hept_acc (r12bs128cv2r): the accuracy-first headline arm — 12-round
+    # static union x OR3 + bs128 slab2 kernels (60k acc@0.9 0.9502 @
+    # 138.8 ms, BASELINE.md round 4). block_size 128 is a documented
+    # divergence (PARITY.md): bigger lane-aligned buckets, MORE neighbors
+    # per point than the reference's 100.
+    ACC_OVERRIDES = dict(
+        block_size=128, n_hashes=3, static_rounds=12,
+        attn_impl="slab2" if on_tpu else "xla",
+    )
+    ACC_BLOCK = 128
+
+    cfg = make_cfg(**ACC_OVERRIDES)  # headline (accuracy arm)
     model = HeptTransformer(cfg)
+    fast_model = HeptTransformer(make_cfg())  # nh2r8cv2r speed arm
     tx = make_optimizer("adam", lr=1e-2)
 
-    def pack(b, evs=None):
+    def pack(b, evs=None, block=ACC_BLOCK):
         # 128-window pair layout: the loss uses the windowed MXU pair ops
-        batch = pack_events((evs or events)[:b], block_size=100,
+        batch = pack_events((evs or events)[:b], block_size=block,
                             window_pairs=128)
         keys = ("x", "coords", "valid", "pairs", "pair_mask", "cluster_ids",
                 "recons", "pts", "pair_rev", "pair_weight", "pair_neg")
@@ -164,7 +181,7 @@ def main():
     # IMPORTANT: batches travel as jitted-function ARGUMENTS, never closure
     # constants (closure-captured device arrays are embedded into the lowered
     # module: minutes of lowering on a remote backend).
-    def make_step(b, mdl=None):
+    def make_step(b, mdl=None, overrides=ACC_OVERRIDES):
         import jax
 
         mdl = mdl or model
@@ -173,7 +190,7 @@ def main():
             # own batch row — linear in B (ops/bucket_attn.py sort_events),
             # unlike the round-2 concatenated-row flat batch whose sort
             # comparator grew n log n (B=2 was 1.2x/event).
-            mdl = HeptTransformer(make_cfg(sort_events=b))
+            mdl = HeptTransformer(make_cfg(sort_events=b, **overrides))
             flat_apply = make_flat_batched_apply(mdl)
 
         @jax.jit
@@ -215,7 +232,8 @@ def main():
 
         return train_step
 
-    bt1 = pack(1)
+    bt1 = pack(1)  # accuracy-arm layout (block 128)
+    bt1f = pack(1, block=100)  # fast-arm + parity layout (reference block)
 
     if parity_only:
         # Reference-parity-mode step (no fast-mode divergences: per-head
@@ -233,19 +251,20 @@ def main():
         ))
         _stamp("parity-mode compile")
         pvars = jax.jit(pmodel.init)(
-            jax.random.PRNGKey(0), bt1["x"][0], bt1["coords"][0], bt1["valid"][0]
+            jax.random.PRNGKey(0), bt1f["x"][0], bt1f["coords"][0],
+            bt1f["valid"][0]
         )
         jax.block_until_ready(pvars)
         pstate = TrainState.create(pvars, tx, jax.random.PRNGKey(1))
         pstep = make_step(1, mdl=pmodel)
-        ps, pl = pstep(pstate, bt1)
+        ps, pl = pstep(pstate, bt1f)
         float(pl)
         for _ in range(WARMUP - 1):
-            ps, pl = pstep(ps, bt1)
+            ps, pl = pstep(ps, bt1f)
         float(pl)
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            ps, pl = pstep(ps, bt1)
+            ps, pl = pstep(ps, bt1f)
         float(pl)
         parity_ms = (time.perf_counter() - t0) / ITERS * 1e3
         print(f"PARITY_MS {parity_ms:.2f}", flush=True)
@@ -303,6 +322,33 @@ def main():
     pps = best_b * N_POINTS / dt_best
     dt1 = results[1][0]
 
+    # fast arm (nh2r8cv2r, the round-3 headline): kept visible round over
+    # round as step_ms_fast / pts_per_s_fast (60k acc@0.9 0.9341).
+    fast_ms = None
+    fvars = jax.jit(fast_model.init)(
+        jax.random.PRNGKey(0), bt1f["x"][0], bt1f["coords"][0],
+        bt1f["valid"][0]
+    )
+    jax.block_until_ready(fvars)
+    fstate0 = TrainState.create(fvars, tx, jax.random.PRNGKey(1))
+    try:
+        _stamp("fast arm B=1")
+        fstate = fstate0
+        fstep = make_step(1, mdl=fast_model)
+        fstate, fl = fstep(fstate, bt1f)
+        float(fl)
+        for _ in range(WARMUP - 1):
+            fstate, fl = fstep(fstate, bt1f)
+        float(fl)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            fstate, fl = fstep(fstate, bt1f)
+        float(fl)
+        fast_ms = (time.perf_counter() - t0) / ITERS * 1e3
+        _stamp(f"fast arm: {fast_ms:.1f} ms/step, {N_POINTS/fast_ms*1e3:,.0f} pts/s")
+    except Exception as e:
+        _stamp(f"fast arm failed ({type(e).__name__}); omitting")
+
     # forward-only latency, single event (reference example.ipynb cells 9-10)
     fwd = jax.jit(
         lambda p, c, bt: model.apply(
@@ -325,9 +371,9 @@ def main():
     step6k_ms = pps6k = None
     try:
         _stamp(f"6k flat batch B={BATCH_6K}")
-        bt6 = pack(BATCH_6K, events6k)
-        step6 = make_step(BATCH_6K)
-        st6, l6 = step6(state0, bt6)
+        bt6 = pack(BATCH_6K, events6k, block=100)
+        step6 = make_step(BATCH_6K, overrides={})
+        st6, l6 = step6(fstate0, bt6)
         float(l6)
         for _ in range(WARMUP - 1):
             st6, l6 = step6(st6, bt6)
@@ -380,9 +426,18 @@ def main():
                 "value": round(pps, 1),
                 "unit": "points/sec",
                 "vs_baseline": round(pps / A100_TRAIN_POINTS_PER_SEC, 3),
+                # headline = the accuracy-first hept_acc arm (r12bs128cv2r);
+                # its 60k acc@0.9 evidence lives in BASELINE.md round-4
+                # matrix + runs/r4 logs (3-seed campaign)
+                "arm": "hept_acc/r12bs128cv2r",
+                "acc_at_0p9_seed42": 0.9502,
                 "batch_events": best_b,
                 "step_ms": round(dt_best * 1e3, 2),
                 "step_ms_b1": round(dt1 * 1e3, 2),
+                "step_ms_fast": round(fast_ms, 2) if fast_ms else None,
+                "pts_per_s_fast": round(N_POINTS / fast_ms * 1e3, 1)
+                if fast_ms else None,
+                "fast_arm": "hept_fast/nh2r8cv2r (acc@0.9 0.9341)",
                 "step_ms_parity": round(parity_ms, 2) if parity_ms else None,
                 "fwd_ms": round(fwd_ms, 2),
                 "step_ms_6k_b8": round(step6k_ms, 2) if step6k_ms else None,
