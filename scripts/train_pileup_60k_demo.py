@@ -18,6 +18,7 @@ from hept_tpu.train.trainer import run_one_seed
 ds = make_synthetic_pileup(n_events=10, n_points=60_000, seed=0)
 
 variant = sys.argv[1] if len(sys.argv) > 1 else "r2"
+seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
 model_kwargs = dict(
     block_size=100, n_hashes=3, num_regions=140, num_heads=8,
     h_dim=24, n_layers=4, num_w_per_dist=10, sort_pack=True,
@@ -27,16 +28,23 @@ model_kwargs = dict(
 )
 attn_impl = "hybrid"
 if variant == "headline":
-    # the tracking bench headline stack (nh2r8cv2): OR width 2, 8-round
+    # the round-3 tracking speed stack (nh2r8cv2): OR width 2, 8-round
     # static union, per-bucket RPE centering, v2 bf16 backward
     model_kwargs.update(n_hashes=2, static_rounds=8, kernel_center=True,
                         canon_residual=False)
     attn_impl = "hybrid2"
+elif variant == "acc":
+    # the round-4 hept_acc composition (r12bs128cv2r) on pileup: 12-round
+    # union x OR3, bs128 slab2 kernels, center, row unsort
+    model_kwargs.update(block_size=128, static_rounds=12, kernel_center=True,
+                        unsort_rows=True, canon_residual=False)
+    attn_impl = "slab2"
 
 cfg = ExperimentConfig(
     task="pileup",
-    loss_name="focal",
+    seed=seed,
     model_kwargs=model_kwargs,
+    loss_name="focal",
     optimizer_kwargs={"lr": 1e-3},
     lr_scheduler_name="impatient",  # ReduceLROnPlateau (factor .5, patience 20)
     lr_scheduler_kwargs={"factor": 0.5, "patience": 20},
@@ -50,6 +58,6 @@ cfg = ExperimentConfig(
     attn_impl=attn_impl,
 )
 res = run_one_seed(cfg, dataset=ds)
-print(f"RESULT pileup-60k [{variant}]: " + " ".join(
+print(f"RESULT pileup-60k [{variant} seed={seed}]: " + " ".join(
     f"{k}={v:.4f}" for k, v in sorted(res.items())
 ), flush=True)
