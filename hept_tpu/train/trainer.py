@@ -259,7 +259,8 @@ def evaluate(cfg, model_apply, variables, dataset: SplitDataset, split: str,
     # windowed pair packing is real host work (~seconds per 60k event) paid
     # every epoch — cache the packed split on the dataset (train batches
     # are NOT cached: augmentation re-packs them each epoch).
-    ck = (split, cfg.batch_size, block_size, n_max, e_max)
+    ck = (split, cfg.batch_size, block_size, n_max, e_max,
+          cfg.task == "tracking" and cfg.windowed_pairs)
     cache = getattr(dataset, "_eval_batch_cache", None)
     if cache is None:
         cache = {}

@@ -192,6 +192,26 @@ VARIANTS = {
     "r16cv2r": dict(static_keys="x0", static_rounds=16, n_hashes=4,
                     kernel_center=True, unsort_rows=True,
                     _attn_impl="hybrid2"),
+    # contingency accuracy levers on the composed arm (if the 3-seed mean
+    # misses 0.95): AND-composed second hash direction (+0.02-0.03 co-bucket
+    # union at 60k, PARITY.md) / global-norm clipping (seed-variance
+    # stabilizer; the lr=1e-2 recipe is collapse-prone)
+    "r12bs128cv2rb4": dict(static_keys="x0", static_rounds=12,
+                           block_size=128, kernel_center=True,
+                           unsort_rows=True, static_and_bins=4,
+                           _attn_impl="slab2"),
+    "r12bs128cv2rclip": dict(static_keys="x0", static_rounds=12,
+                             block_size=128, kernel_center=True,
+                             unsort_rows=True, _clip=1.0,
+                             _attn_impl="slab2"),
+    # 13-round PINNED-canon plan (13 = 1 + 6*(nh-1)): the canonical round
+    # is free in every layer (no x-gather, no unsort — cuts the per-layer
+    # unsort/gather count by 1/3) while the union stays 13 rounds >= r12's
+    # coverage. The speed-recovery candidate for the hept_acc profile.
+    "r13bs128ccv2r": dict(static_keys="x0", static_rounds=13,
+                          canon_residual=True, block_size=128,
+                          kernel_center=True, unsort_rows=True,
+                          _attn_impl="slab2"),
     # reference-parity mode (ALL validated divergences off — the bench.py
     # --parity-only config): per-head per-layer hashing, independent q/k
     # bucket sorts, f32 sort/unsort transport, f32 kernels. As a VARIANTS
