@@ -1,9 +1,11 @@
 #!/bin/bash
-# Round-4 queue #3: the seed matrix + dataset-scale evidence.
-#   a) 3-seed fills for the composed accuracy arm (r12bs128cv2r), the
-#      strict round-2 control (r2known) and the OR1 turbo arm (nh1r4cv2)
-#   b) dataset-scale run: r12bs128cv2r on 50 synthetic events (40/5/5)
-#   c) convergence-headroom run: r12bs128cv2r at 50 epochs (labeled arm)
+# Round-4 queue #3 (reordered): the essential artifacts first.
+#   a) full bench.py on the TPU (validates the promoted dual-arm bench and
+#      pre-pays its compiles into the persistent cache)
+#   b) 3-seed fills for the composed accuracy arm (r12bs128cv2r)
+#   c) nh2r8cv2r seed-0 rerun (first attempt was killed by its timeout —
+#      it imported the intermediate padded-eval trainer)
+#   d) r2known + nh1r4cv2 seed fills
 # Usage: nohup bash scripts/tpu_queue26.sh > /tmp/tpu_queue26.log 2>&1 &
 cd /root/repo || exit 1
 mkdir -p runs/r4
@@ -26,14 +28,14 @@ run() { # run <tag> <timeout_s> <cmd...>
   tail -n 3 "runs/r4/$tag.log" | grep -v "^WARNING" || true
 }
 
+run bench_r4             5400 python bench.py
 run demo_r12bs128cv2r_s0 3600 python scripts/train_60k_demo.py r12bs128cv2r 1e-2 0
 run demo_r12bs128cv2r_s1 3600 python scripts/train_60k_demo.py r12bs128cv2r 1e-2 1
+run demo_nh2r8cv2r_s0b   3600 python scripts/train_60k_demo.py nh2r8cv2r 1e-2 0
 run demo_r2known_s0      4800 python scripts/train_60k_demo.py r2known 1e-2 0
 run demo_r2known_s1      4800 python scripts/train_60k_demo.py r2known 1e-2 1
 run demo_nh1r4cv2_s0     2400 python scripts/train_60k_demo.py nh1r4cv2 1e-2 0
 run demo_nh1r4cv2_s1     2400 python scripts/train_60k_demo.py nh1r4cv2 1e-2 1
-run demo_r12bs128cv2r_n50 7200 python scripts/train_60k_demo.py r12bs128cv2r 1e-2 42 50
-run demo_r12bs128cv2r_e50 7200 python scripts/train_60k_demo.py r12bs128cv2r 1e-2 42 10 50
 
 grep -h "RESULT" runs/r4/demo_*.log || true
 echo "[$(date +%H:%M:%S)] queue26 done"

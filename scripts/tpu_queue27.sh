@@ -1,9 +1,5 @@
 #!/bin/bash
-# Round-4 queue #4: round artifacts + co-workload seeds.
-#   a) full bench.py on the TPU (validates the promoted dual-arm bench
-#      and pre-pays its compiles into the persistent cache)
-#   b) the r16bs128cv2r seed-42 arm (lost to the mid-edit trainer crash)
-#   c) pileup co-workload: the hept_acc composition + a second seed
+# Round-4 queue #4: dataset-scale evidence + co-workload + stretch arms.
 # Usage: nohup bash scripts/tpu_queue27.sh > /tmp/tpu_queue27.log 2>&1 &
 cd /root/repo || exit 1
 mkdir -p runs/r4
@@ -26,10 +22,14 @@ run() { # run <tag> <timeout_s> <cmd...>
   tail -n 3 "runs/r4/$tag.log" | grep -v "^WARNING" || true
 }
 
-run bench_r4            5400 python bench.py
+run demo_r12bs128cv2r_n50 7200 python scripts/train_60k_demo.py r12bs128cv2r 1e-2 42 50
+run demo_r12bs128cv2r_e50 7200 python scripts/train_60k_demo.py r12bs128cv2r 1e-2 42 10 50
+run pileup_acc_s42       3600 python scripts/train_pileup_60k_demo.py acc 42
+run pileup_headline_s0   3600 python scripts/train_pileup_60k_demo.py headline 0
+run time_r13bs128ccv2r   2400 python scripts/time_step_variant.py r13bs128ccv2r
+run demo_r13bs128ccv2r_s42 3600 python scripts/train_60k_demo.py r13bs128ccv2r 1e-2 42
+run probe_unsort_r4      2400 python scripts/probe_unsort_r4.py
 run demo_r16bs128cv2r_s42 3600 python scripts/train_60k_demo.py r16bs128cv2r 1e-2 42
-run pileup_acc_s42      3600 python scripts/train_pileup_60k_demo.py acc 42
-run pileup_headline_s0  3600 python scripts/train_pileup_60k_demo.py headline 0
 
-grep -h "RESULT\|step_ms\|\"value\"" runs/r4/bench_r4.log runs/r4/demo_r16*.log runs/r4/pileup_*.log 2>/dev/null | tail -6
+grep -h "RESULT" runs/r4/demo_*.log runs/r4/pileup_*.log 2>/dev/null | tail -8
 echo "[$(date +%H:%M:%S)] queue27 done"
