@@ -37,6 +37,48 @@ def test_tracking_e2e(tmp_path):
         assert 0.0 <= res[key] <= 1.0
 
 
+def test_eval_chunking_metric_equivalence(tmp_path):
+    """evaluate() with the lax.map'ed chunked eval step (eval_chunk=3 over
+    7 batches: two full chunks + a size-1 remainder) must produce the SAME
+    metrics as per-batch eval — chunking is a dispatch optimization only
+    (VERDICT r3 #9)."""
+    import jax.numpy as jnp
+
+    from hept_tpu.data.batching import pack_events
+    from hept_tpu.train.trainer import (
+        build_model, evaluate, make_model_apply,
+    )
+
+    ds = make_synthetic_tracking(n_events=10, n_points=96, seed=3)
+    res = {}
+    for chunk in (1, 3):
+        cfg = ExperimentConfig(
+            task="tracking",
+            model_kwargs=TINY_MODEL,
+            batch_size=1,
+            main_metric="accuracy@0.9",
+            log_dir=str(tmp_path),
+            attn_impl="xla",
+            eval_chunk=chunk,
+        )
+        model, model_cfg = build_model(cfg, ds.in_dim, ds.coords_dim)
+        model_apply = make_model_apply(model, model_cfg)
+        ev0 = ds.train[0]
+        b0 = pack_events([ev0], 16, n_max=96, e_max=4096)
+        import jax
+
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(b0["x"][0]),
+            jnp.asarray(b0["coords"][0]), jnp.asarray(b0["valid"][0]),
+        )
+        ds._eval_batch_cache = {}  # isolate runs
+        res[chunk] = evaluate(cfg, model_apply, variables, ds, "train",
+                              16, 96, 4096)
+    for k in res[1]:
+        np.testing.assert_allclose(res[3][k], res[1][k], rtol=1e-6,
+                                   err_msg=k)
+
+
 def test_pileup_e2e(tmp_path):
     ds = make_synthetic_pileup(n_events=8, n_points=128, seed=0)
     cfg = ExperimentConfig(
