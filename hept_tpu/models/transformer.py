@@ -440,6 +440,24 @@ class AttnBlock(nn.Module):
         return x
 
 
+def _remat_block(block, deterministic: bool):
+    """Rematerialized AttnBlock call (reference transformer.py:138-140's
+    torch.utils.checkpoint). `deterministic` is closed over as a Python
+    bool: flax's nn.remat traces every call argument — including bool
+    kwargs — so passing it through the remat boundary turns nn.Dropout's
+    branch into a TracerBoolConversionError (caught by
+    tests/test_model.py::TestScanLayers::test_use_ckpt_matches_plain)."""
+
+    def call(mdl, h, coords, codes, invalid, valid, edges, edge_mask, plan):
+        return mdl(
+            h, coords=coords, codes=codes, invalid=invalid, valid=valid,
+            edges=edges, edge_mask=edge_mask, deterministic=deterministic,
+            plan=plan,
+        )
+
+    return lambda *args: nn.remat(call)(block, *args)
+
+
 class _ScanBody(nn.Module):
     """One scan step over the attention stack: carry = hidden state,
     y = this layer's output (for the concat-all-layers head)."""
@@ -450,14 +468,17 @@ class _ScanBody(nn.Module):
     @nn.compact
     def __call__(self, h, coords, codes, invalid, valid, edges, edge_mask,
                  plan):
-        block_cls = AttnBlock
+        block = AttnBlock(self.cfg, name="block")
         if self.cfg.use_ckpt:
-            block_cls = nn.remat(AttnBlock, static_argnums=())
-        out = block_cls(self.cfg, name="block")(
-            h, coords=coords, codes=codes, invalid=invalid, valid=valid,
-            edges=edges, edge_mask=edge_mask, deterministic=self.deterministic,
-            plan=plan,
-        )
+            out = _remat_block(block, self.deterministic)(
+                h, coords, codes, invalid, valid, edges, edge_mask, plan
+            )
+        else:
+            out = block(
+                h, coords=coords, codes=codes, invalid=invalid, valid=valid,
+                edges=edges, edge_mask=edge_mask,
+                deterministic=self.deterministic, plan=plan,
+            )
         return out, out
 
 
@@ -653,20 +674,25 @@ class HeptTransformer(nn.Module):
                 axis=-1,
             )
         else:
-            block_cls = AttnBlock
-            if cfg.use_ckpt:
-                # activation rematerialization (reference transformer.py:138-140's
-                # torch.utils.checkpoint, as jax.checkpoint/nn.remat)
-                block_cls = nn.remat(AttnBlock, static_argnums=())
-
             all_layers = [h]
             for i in range(cfg.n_layers):
                 plan_i = (tuple(a[i] for a in plan) if plan_stacked else plan)
-                out = block_cls(cfg, name=f"block_{i}")(
-                    h, coords=coords, codes=codes, invalid=invalid, valid=valid,
-                    edges=edges, edge_mask=edge_mask, deterministic=deterministic,
-                    plan=plan_i,
-                )
+                block = AttnBlock(cfg, name=f"block_{i}")
+                if cfg.use_ckpt:
+                    # activation rematerialization (reference
+                    # transformer.py:138-140's torch.utils.checkpoint, as
+                    # nn.remat; deterministic closes over as a static bool —
+                    # see _remat_block)
+                    out = _remat_block(block, deterministic)(
+                        h, coords, codes, invalid, valid, edges, edge_mask,
+                        plan_i,
+                    )
+                else:
+                    out = block(
+                        h, coords=coords, codes=codes, invalid=invalid,
+                        valid=valid, edges=edges, edge_mask=edge_mask,
+                        deterministic=deterministic, plan=plan_i,
+                    )
                 if cfg.attn_type == "flatformer":
                     # concat all 4 inner-layer outputs (transformer.py:134-136;
                     # W width h_dim * (n_layers*4 + 1), transformer.py:106)

@@ -185,6 +185,37 @@ class TestScanLayers:
         assert all(np.isfinite(n) for n in norms)
         assert sum(n > 0 for n in norms) > len(norms) * 0.8
 
+    def test_use_ckpt_matches_plain(self):
+        """use_ckpt (nn.remat, reference transformer.py:138-140) is a pure
+        memory/recompute trade: outputs and gradients must equal the
+        non-remat loop exactly."""
+        import dataclasses
+
+        model, cfg, variables, x, coords, valid = _make()
+        ck_model = HeptTransformer(dataclasses.replace(cfg, use_ckpt=True))
+
+        out = model.apply(variables, x, coords, valid)
+        out_ck = ck_model.apply(variables, x, coords, valid)
+        np.testing.assert_allclose(
+            np.asarray(out_ck), np.asarray(out), rtol=1e-6, atol=1e-6
+        )
+
+        def loss_fn(m):
+            def f(params):
+                o = m.apply(
+                    {"params": params, "constants": variables["constants"]},
+                    x, coords, valid,
+                )
+                return jnp.sum(o**2)
+            return jax.grad(f)(variables["params"])
+
+        g, g_ck = loss_fn(model), loss_fn(ck_model)
+        for a, b in zip(jax.tree_util.tree_leaves(g),
+                        jax.tree_util.tree_leaves(g_ck)):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6
+            )
+
 
 class TestFlatBatching:
     """Flat batching (batch-index AND codes, reference example design) must
