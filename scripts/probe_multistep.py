@@ -102,28 +102,30 @@ def stepK(state, bts):  # bts leaves have leading K axis
 
 
 def timeit(tag, fn, *args, per=1, iters=ITERS, donate=False):
-    s = fn(*args)
-    jax.block_until_ready(s)
-    if donate:  # donated input is dead; measure with fresh states each iter
-        states = [jax.device_put(args[0]) for _ in range(iters + 2)]
-        fn(states[-1], *args[1:])
-        t0 = time.perf_counter()
-        out = None
-        for i in range(iters):
-            out = fn(states[i], *args[1:])
-        float(out[1] if isinstance(out, tuple) else out)
-        dt = (time.perf_counter() - t0) / iters / per * 1e3
-    else:
-        for _ in range(2):
-            s = fn(*args)
-        l = s[1]
-        float(l.reshape(-1)[0] if hasattr(l, "reshape") else l)
+    if donate:  # donated inputs die per call: chain the returned state
+        st = jax.device_put(jax.tree_util.tree_map(jnp.asarray, args[0]))
+        st, l = fn(st, *args[1:])
+        jax.block_until_ready(st)
+        float(l)
         t0 = time.perf_counter()
         for _ in range(iters):
-            s = fn(*args)
-        l = s[1]
-        float(jnp.asarray(l).reshape(-1)[-1])
+            st, l = fn(st, *args[1:])
+        float(l)
         dt = (time.perf_counter() - t0) / iters / per * 1e3
+        print(f"{tag:<12s} {dt:7.2f} ms/step", flush=True)
+        return dt
+    s = fn(*args)
+    jax.block_until_ready(s)
+    for _ in range(2):
+        s = fn(*args)
+    l = s[1]
+    float(l.reshape(-1)[0] if hasattr(l, "reshape") else l)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = fn(*args)
+    l = s[1]
+    float(jnp.asarray(l).reshape(-1)[-1])
+    dt = (time.perf_counter() - t0) / iters / per * 1e3
     print(f"{tag:<12s} {dt:7.2f} ms/step", flush=True)
     return dt
 
