@@ -85,8 +85,13 @@ class ExperimentConfig:
     # and lax.map's the eval step over them, so per-batch dispatch (a tunnel
     # round trip per event at ~100 ms step scales) amortizes 1/eval_chunk
     # and eval wall time stays flat as the dataset grows (VERDICT r3 #9).
-    # 1 = one device call per batch (the previous behavior).
-    eval_chunk: int = 8
+    # 1 = one device call per batch. DEFAULT 1: metric-equivalence is proven
+    # on CPU (tests/test_train_e2e.py) but the round-4 r12cv2r TPU runs
+    # produced garbage eval metrics for a model that CPU re-eval scores at
+    # 0.945 (runs/r4, scripts/diag_r12_collapse.py) — chunked TPU eval is
+    # opt-in until scripts/diag_tpu_eval.py exonerates the lax.map path on
+    # hardware.
+    eval_chunk: int = 1
 
     def model_config(self, in_dim: int, coords_dim: int) -> TransformerConfig:
         kw = dict(self.model_kwargs)

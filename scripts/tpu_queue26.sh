@@ -1,11 +1,7 @@
 #!/bin/bash
-# Round-4 queue #3 (reordered): the essential artifacts first.
-#   a) full bench.py on the TPU (validates the promoted dual-arm bench and
-#      pre-pays its compiles into the persistent cache)
-#   b) 3-seed fills for the composed accuracy arm (r12bs128cv2r)
-#   c) nh2r8cv2r seed-0 rerun (first attempt was killed by its timeout —
-#      it imported the intermediate padded-eval trainer)
-#   d) r2known + nh1r4cv2 seed fills
+# Round-4 queue #3 (v3): DIAGNOSIS FIRST — the r12cv2r TPU-eval corruption
+# gates every seed result, so the eval A/B runs before anything else; the
+# seed demos then run on the safe per-batch eval (eval_chunk default 1).
 # Usage: nohup bash scripts/tpu_queue26.sh > /tmp/tpu_queue26.log 2>&1 &
 cd /root/repo || exit 1
 mkdir -p runs/r4
@@ -25,12 +21,14 @@ run() { # run <tag> <timeout_s> <cmd...>
   echo "[$(date +%H:%M:%S)] $tag"
   timeout "$to" "$@" > "runs/r4/$tag.log" 2>&1
   echo "$tag rc=$?"
-  tail -n 3 "runs/r4/$tag.log" | grep -v "^WARNING" || true
+  tail -n 4 "runs/r4/$tag.log" | grep -v "^WARNING" || true
 }
 
-run bench_r4             5400 python bench.py
+run diag_tpu_eval        3600 python scripts/diag_tpu_eval.py /tmp/train60k/0819-122533_tracking_trans_hept_0_
 run demo_r12bs128cv2r_s0 3600 python scripts/train_60k_demo.py r12bs128cv2r 1e-2 0
 run demo_r12bs128cv2r_s1 3600 python scripts/train_60k_demo.py r12bs128cv2r 1e-2 1
+run demo_r12cv2r_s42ctl  3600 python scripts/train_60k_demo.py r12cv2r 1e-2 42
+run bench_r4             5400 python bench.py
 run demo_nh2r8cv2r_s0b   3600 python scripts/train_60k_demo.py nh2r8cv2r 1e-2 0
 run demo_r2known_s0      4800 python scripts/train_60k_demo.py r2known 1e-2 0
 run demo_r2known_s1      4800 python scripts/train_60k_demo.py r2known 1e-2 1
