@@ -245,7 +245,11 @@ def main():
         pmodel = HeptTransformer(make_cfg(
             sort_pack=False, sort_ops=1, unsort_pack=False, shared_sort=False,
             share_heads=False, kernel_bf16=False, kernel_center=False,
-            static_keys=False, canon_residual=False, unsort_rows=False,
+            static_keys=False, canon_residual=False,
+            unsort_rows=True,  # EXACT row-gather unsort (per-head dynamic
+            # inverses from one argsort of q_src; bit-compatible f32
+            # transport — tests/test_unsort_rows.py dynamic_per_head) —
+            # an allowed exact-preserving lever, not a divergence
             attn_impl="hybrid",
             n_hashes=3, static_rounds=0,  # reference OR width, per-layer keys
         ))

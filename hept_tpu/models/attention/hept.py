@@ -107,9 +107,11 @@ class HeptAttention(nn.Module):
     # in f32 (RBF logits are shift-invariant), rescues kernel_bf16/sort_pack
     # precision at large sqrt_w. See hept_attention_core_xcols.
     kernel_center: bool = False
-    # With canon: ROW-major canonical unsort (flat row gather instead of the
-    # minor-axis sort) and row-major (n, h·dv) output straight into
-    # out_linear. See hept_attention_core_xcols.
+    # ROW-major unsort (flat row gather instead of the minor-axis sort) and
+    # row-major (n, h·dv) output straight into out_linear. Works with static
+    # plans (canon or not) AND dynamic per-step keys (inverses from one
+    # 2-operand argsort of q_src) — exact in all modes. See
+    # hept_attention_core_xcols.
     unsort_rows: bool = False
 
     @nn.compact

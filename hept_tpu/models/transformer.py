@@ -151,13 +151,16 @@ class TransformerConfig:
     # the plan also carries its sorted coords in f32 (transport rounding
     # matters for the same reason).
     kernel_center: bool = False
-    # With canon_residual: ROW-major canonical unsort — one lane transpose,
-    # then the reorder back to canonical order is a flat row gather of
-    # contiguous (h·(dv+1))-feature rows instead of a minor-axis lax.sort
-    # (~2x the unsort wall, scripts/probe_unsort_row.py), and the attention
-    # output stays row-major straight into out_linear (the column pipeline's
-    # final transpose disappears). Pure layout change: same math, same
-    # rounding profile as the sort-carry unsort under unsort_pack.
+    # ROW-major unsort — one lane transpose, then the reorder back to
+    # natural (or canonical) order is a flat row gather of contiguous
+    # feature rows instead of a minor-axis lax.sort (~2x the unsort wall,
+    # scripts/probe_unsort_row.py), and the attention output stays row-major
+    # straight into out_linear (the column pipeline's final transpose
+    # disappears). Works with static plans AND dynamic per-step keys
+    # (including the reference-parity per-head pipeline — the inverse
+    # permutations come from one cheap 2-operand argsort of q_src). Pure
+    # layout change: same math, same rounding profile as the sort-carry
+    # unsort under unsort_pack.
     unsort_rows: bool = False
     num_classes: int = 1  # pileup head width
     # baseline-attention knobs (reference configs/*)

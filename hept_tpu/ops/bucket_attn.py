@@ -687,11 +687,6 @@ def hept_attention_core_xcols(
     if kernel_center:
         assert share_heads or shared_sort, \
             "kernel_center needs a shared q/k bucket grid"
-    if unsort_rows:
-        assert canon or plan is not None, (
-            "unsort_rows needs static permutations (canon_residual or a "
-            "static_keys plan)"
-        )
 
     def _center(rpe):  # (..., ne) f32; buckets contiguous along ne
         if not kernel_center:
@@ -781,16 +776,66 @@ def hept_attention_core_xcols(
         # ratio and output then STAY row-major: the consumer (out_linear)
         # reads (n, h·dv) rows, so the column pipeline's final
         # (h·dv, n) -> (n, h·dv) transpose disappears instead of coming
-        # back. Needs the plan's static per-round permutations: under canon
-        # round 0 is free and rounds 1.. gather by the composed
-        # canonical-position maps; without canon (e.g. the static_rounds
-        # union stacks, where pinning round 0 would shrink the union) every
-        # round gathers by its own inverse permutation.
+        # back. With a static plan the inverse permutations are precomputed
+        # (under canon round 0 is free and rounds 1.. gather by the composed
+        # canonical-position maps; without canon — e.g. the static_rounds
+        # union stacks, where pinning round 0 would shrink the union — every
+        # round gathers by its own inverse permutation); with DYNAMIC
+        # per-step keys (the reference-parity per-head pipeline included)
+        # the inverses come from one cheap 2-operand argsort of q_src.
         assert unsort_pack != "fp8", "unsort_rows: fp8 transport unsupported"
+
+        def _argsort_rows(srcf):
+            # inverse permutation of each (R, ne) row: one cheap 2-operand
+            # u32 sort (vs the (dv+1)-operand payload-carrying unsort sort
+            # it replaces, which re-runs the comparator per VMEM chunk).
+            iota = jnp.broadcast_to(
+                jnp.arange(srcf.shape[-1], dtype=jnp.uint32), srcf.shape
+            )
+            _, invf = jax.lax.sort(
+                [srcf.astype(jnp.uint32), iota], dimension=-1, num_keys=1,
+                is_stable=False,
+            )
+            return invf.astype(jnp.int32)
+
+        if plan is None and not share_heads:
+            # DYNAMIC keys, one permutation per (round, head, event) sort row
+            # (the reference-parity per-head pipeline and shared_sort): the
+            # natural position j of head g's round-r output is sorted slot
+            # inv[r, g, j] with inv = argsort(q_src) — a flat row gather of
+            # each head's [num|denom] rows, exact (f32 bitcast; bf16 pairs
+            # under unsort_pack), same values/sum order as the sort-carry
+            # unsort. Heads keep separate rows (their permutations differ).
+            R = c * h * n_ev
+            srcf = q_src.reshape(R, ne)
+            invf = _argsort_rows(srcf)
+            rows3 = jnp.swapaxes(
+                od.reshape(R, dv + 1, ne), -1, -2
+            )  # (R, ne, dv+1) — one lane transpose
+            rows3 = permute_gather_rows(
+                rows3, invf, srcf, pack=bool(unsort_pack)
+            )
+            comb = rows3.reshape(c, h, n_ev, ne, dv + 1).sum(axis=0)
+            o_sum, l_sum = comb[..., :dv], comb[..., dv:]  # (h, n_ev, ne, ·)
+            if hash_axis is not None:
+                o_sum = jax.lax.psum(o_sum, hash_axis)
+                l_sum = jax.lax.psum(l_sum, hash_axis)
+            out = stable_ratio(o_sum, l_sum)  # (h, n_ev, ne, dv)
+            return out.transpose(1, 2, 0, 3).reshape(n, h * dv)
         w_row = h * (dv + 1)
         od5 = od.reshape(c, n_ev, h, dv + 1, ne)
         rows4 = od5.transpose(0, 1, 4, 2, 3).reshape(c, n_ev, ne, w_row)
-        if canon:
+        if plan is None:
+            # share_heads with per-step (dynamic) keys: all heads share the
+            # per-(round, event) permutation — argsort q_src once, one
+            # merged-row gather (same row layout as the static-plan path).
+            srcf = q_src.reshape(c * n_ev, ne)
+            invf = _argsort_rows(srcf)
+            rows4 = permute_gather_rows(
+                rows4.reshape(c * n_ev, ne, w_row), invf, srcf,
+                pack=bool(unsort_pack),
+            ).reshape(c, n_ev, ne, w_row)
+        elif canon:
             if c > 1:
                 # canonical position j takes round-r slot finv[r, j]; VJP
                 # gathers back by fmap (its inverse).

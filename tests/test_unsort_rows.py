@@ -128,6 +128,84 @@ def test_unsort_rows_with_static_rounds():
                                    rtol=2e-4, atol=1e-5)
 
 
+def _fwd_bwd_match(cfg_kw, seed, rtol_g=2e-4):
+    x, coords, valid = _event(seed=seed)
+    m0 = HeptTransformer(_cfg(unsort_rows=False, **cfg_kw))
+    m1 = HeptTransformer(_cfg(unsort_rows=True, **cfg_kw))
+    v = m0.init(jax.random.PRNGKey(seed), x, coords, valid)
+
+    def loss(m):
+        def f(params):
+            out = m.apply({"params": params, "constants": v["constants"]},
+                          x, coords, valid)
+            return (out ** 2).sum(), out
+
+        return jax.value_and_grad(f, has_aux=True)(v["params"])
+
+    (l0, o0), g0 = loss(m0)
+    (l1, o1), g1 = loss(m1)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=rtol_g, atol=1e-5)
+
+
+@pytest.mark.parametrize("pack", [False, True])
+def test_unsort_rows_dynamic_share_heads(pack):
+    """rows with DYNAMIC per-step keys under share_heads (no static plan):
+    the inverse permutations come from an argsort of q_src; must match the
+    sort-carry unsort forward and backward."""
+    _fwd_bwd_match(dict(static_keys=False, canon_residual=False,
+                        sort_pack=pack, unsort_pack=pack), seed=11)
+
+
+def test_unsort_rows_dynamic_per_head():
+    """rows on the reference-parity per-head pipeline (share_heads and
+    shared_sort OFF, dynamic per-layer keys, f32 transport): each (round,
+    head) row gathers by its own argsort(q_src) inverse — the exact lever
+    the strict-parity bench mode rides (VERDICT r3 next #6)."""
+    _fwd_bwd_match(dict(static_keys=False, canon_residual=False,
+                        share_heads=False, shared_sort=False,
+                        sort_pack=False, unsort_pack=False), seed=12)
+
+
+def test_unsort_rows_dynamic_shared_sort():
+    """rows with shared_sort but per-head hashing (q rides the k bucket
+    order; per-head dynamic permutations)."""
+    _fwd_bwd_match(dict(static_keys=False, canon_residual=False,
+                        share_heads=False, shared_sort=True,
+                        sort_pack=False, unsort_pack=False), seed=13)
+
+
+def test_unsort_rows_dynamic_per_head_flat_batch():
+    """per-head dynamic rows x stacked flat batching (sort_events > 1): the
+    (c, h, n_ev) row ordering of q_src must line up with the output rows."""
+    from hept_tpu.models import make_flat_batched_apply
+
+    n, b = 64, 2
+    xs, cs, vs = zip(*[_event(n, seed=20 + i) for i in range(b)])
+    x = jnp.concatenate(xs)
+    coords = jnp.concatenate(cs)
+    valid = jnp.concatenate(vs)
+    kw = dict(static_keys=False, canon_residual=False, share_heads=False,
+              shared_sort=False, sort_events=b, block_size=8, num_regions=4)
+    m0 = HeptTransformer(_cfg(unsort_rows=False, **kw))
+    m1 = HeptTransformer(_cfg(unsort_rows=True, **kw))
+    f0 = make_flat_batched_apply(m0)
+    f1 = make_flat_batched_apply(m1)
+    xb = x.reshape(b, n, -1)
+    cb = coords.reshape(b, n, -1)
+    vb = valid.reshape(b, n)
+    v = m0.init(jax.random.PRNGKey(2), xb[0], cb[0], vb[0])
+    o0 = f0(v, xb, cb, vb)
+    o1 = f1(v, xb, cb, vb)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                               rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("pack", [False, True])
 def test_unsort_rows_non_canon(pack):
     """rows WITHOUT canon_residual (the nh2r8 headline stacks, where pinning
