@@ -250,6 +250,10 @@ def main():
             # inverses from one argsort of q_src; bit-compatible f32
             # transport — tests/test_unsort_rows.py dynamic_per_head) —
             # an allowed exact-preserving lever, not a divergence
+            gather_sort=True,  # EXACT transport change for the q/k payload
+            # sorts too: 2-operand key argsorts + broadcast-source row
+            # gathers (tests/test_gather_sort.py per_head_rows) — no
+            # payload rides a lax.sort comparator in either direction
             attn_impl="hybrid",
             n_hashes=3, static_rounds=0,  # reference OR width, per-layer keys
         ))

@@ -471,15 +471,20 @@ def _u32_to_rows(u32: Array, w: int, pack: bool) -> Array:
 
 
 def _permute_gather_rows_impl(rows, idx, pack):
-    """rows (R, ne, W); idx (R, ne) -> out[r, p, :] = rows[r, idx[r, p], :]
-    as ONE flat row gather (contiguous row fetches; scripts/probe_unsort_row:
-    the u32-packed row gather moves the [num|denom] unsort ~3.6x faster than
-    the minor-axis sort-carry — wide rows ride the sublane axis at DMA
-    row-fetch speed instead of ~16 GB/s lane-axis shuffles)."""
+    """rows (S, ne, W); idx (R, ne) with R a multiple of S ->
+    out[r, p, :] = rows[r % S, idx[r, p], :] as ONE flat row gather
+    (contiguous row fetches; scripts/probe_unsort_row: the u32-packed row
+    gather moves the [num|denom] unsort ~3.6x faster than the minor-axis
+    sort-carry — wide rows ride the sublane axis at DMA row-fetch speed
+    instead of ~16 GB/s lane-axis shuffles). S < R is the broadcast-source
+    case (one payload copy serving every OR round / head, e.g. the
+    gather_sort forward): the source is never materialized R/S times —
+    only the gathered output is."""
     u32, w = _rows_to_u32(rows, pack)
-    R, ne, wp = u32.shape
-    flat = u32.reshape(R * ne, wp)
-    offs = (jnp.arange(R, dtype=idx.dtype) * ne)[:, None]
+    S, ne, wp = u32.shape
+    R = idx.shape[0]
+    flat = u32.reshape(S * ne, wp)
+    offs = ((jnp.arange(R, dtype=idx.dtype) % S) * ne)[:, None]
     out = flat[(idx + offs).reshape(-1)].reshape(R, ne, wp)
     return _u32_to_rows(out, w, pack)
 
@@ -490,14 +495,18 @@ def _make_permute_gather_rows(pack):
         return _permute_gather_rows_impl(rows, idx, pack)
 
     def fwd(rows, idx, inv):
-        return _permute_gather_rows_impl(rows, idx, pack), (idx, inv)
+        return _permute_gather_rows_impl(rows, idx, pack), \
+            (idx, inv, rows.shape[0])
 
     def bwd(res, ct):
-        idx, inv = res
+        idx, inv, S = res
         # out[p] = rows[idx[p]], idx a permutation => d rows[s] = ct[inv[s]]
         # where inv is idx's inverse — the same row gather, same packing.
-        return _permute_gather_rows_impl(ct, inv, pack), \
-            _float0_zero(idx), _float0_zero(inv)
+        # Broadcast sources (S < R) sum their R/S copies' cotangents.
+        g = _permute_gather_rows_impl(ct, inv, pack)  # (R, ne, W)
+        if g.shape[0] != S:
+            g = g.reshape(-1, S, *g.shape[1:]).sum(axis=0)
+        return g, _float0_zero(idx), _float0_zero(inv)
 
     f.defvjp(fwd, bwd)
     return f
@@ -512,8 +521,12 @@ def permute_gather_rows(rows: Array, idx: Array, inv: Array,
     flat XLA row gather (no lax.sort, no lane-axis movement).
 
     Args:
-      rows: (R, ne, W) row payload (one feature row per point).
-      idx: (R, ne) int32 — out[r, p, :] = rows[r, idx[r, p], :].
+      rows: (S, ne, W) row payload (one feature row per point). S may be a
+        DIVISOR of R (broadcast source): out row r reads source row r % S —
+        one payload copy serves every OR round/head without materializing
+        the broadcast (the gather_sort forward), and the VJP sums the R/S
+        copies' cotangents back.
+      idx: (R, ne) int32 — out[r, p, :] = rows[r % S, idx[r, p], :].
       inv: (R, ne) int32 — idx's inverse permutation (for the VJP).
       pack: move rows as bf16 pairs bitcast to u32 (half the gathered bytes;
         same rounding as the sort-carry's pack).

@@ -113,6 +113,12 @@ class HeptAttention(nn.Module):
     # 2-operand argsort of q_src) — exact in all modes. See
     # hept_attention_core_xcols.
     unsort_rows: bool = False
+    # EXACT dynamic-key fast path: replace the payload-carrying variadic
+    # sorts with 2-operand key argsorts + broadcast-source row gathers
+    # (forward AND backward — no backward sort). Same placements/rounding
+    # as the sort-carry; no-op under a static plan. See
+    # hept_attention_core_xcols.
+    gather_sort: bool = False
 
     @nn.compact
     def __call__(self, query, key, value, *, coords, codes, w_rpe_weight,
@@ -163,6 +169,7 @@ class HeptAttention(nn.Module):
                 canon=self.canon,
                 kernel_center=self.kernel_center,
                 unsort_rows=self.unsort_rows,
+                gather_sort=self.gather_sort,
             )  # (h, d, n) columns, or (n, h·d) rows under unsort_rows
             if not self.unsort_rows:
                 out = out.reshape(h * d, n).T

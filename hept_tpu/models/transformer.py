@@ -162,6 +162,15 @@ class TransformerConfig:
     # layout change: same math, same rounding profile as the sort-carry
     # unsort under unsort_pack.
     unsort_rows: bool = False
+    # EXACT dynamic-key fast path (ops/bucket_attn.py gather_sort): replace
+    # the payload-carrying variadic sorts with 2-operand key argsorts plus
+    # broadcast-source row gathers of [x|coords] — no payload ever rides a
+    # lax.sort comparator, forward or backward. Same placements and
+    # rounding as the sort-carry (tests/test_gather_sort.py), so it is an
+    # allowed lever for the strict reference-parity mode (per-head dynamic
+    # keys are exactly where it bites: the parity step's wall is the f32
+    # 30-operand payload sorts). No-op when static_keys supplies a plan.
+    gather_sort: bool = False
     num_classes: int = 1  # pileup head width
     # baseline-attention knobs (reference configs/*)
     pe_type: str = "none"  # none | learned | fixed
@@ -273,6 +282,7 @@ def _make_attention(cfg: TransformerConfig):
             canon=cfg.canon_residual,
             kernel_center=cfg.kernel_center,
             unsort_rows=cfg.unsort_rows,
+            gather_sort=cfg.gather_sort,
             **common,
         )
     if cfg.attn_type == "performer":

@@ -447,12 +447,28 @@ def static_bucket_plan(
     return src, inv, scoords, f, finv
 
 
+def _argsort_keys(keys2):
+    """(R, ne) sort keys -> (src, inv) i32 permutations: slot s of the
+    sorted order holds original row src[s]; original row j sits at sorted
+    slot inv[j] (inv = argsort(src)). Two 2-operand lax.sorts — the
+    comparator runs over a (keys, iota) pair only, never the payload."""
+    R, ne = keys2.shape
+    iota = jnp.broadcast_to(jnp.arange(ne, dtype=jnp.uint32), (R, ne))
+    _, src = jax.lax.sort(
+        [keys2, iota], dimension=-1, num_keys=1, is_stable=False
+    )
+    _, inv = jax.lax.sort(
+        [src, iota], dimension=-1, num_keys=1, is_stable=False
+    )
+    return src.astype(jnp.int32), inv.astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("block_size", "impl", "sort_pack",
                                    "sort_ops", "unsort_pack", "hash_axis",
                                    "shared_sort", "share_heads",
                                    "fold_unsort", "sort_events",
                                    "kernel_bf16", "canon", "kernel_center",
-                                   "unsort_rows"))
+                                   "unsort_rows", "gather_sort"))
 def hept_attention_core_xcols(
     x_cols: Array,
     coords_cols: Array,
@@ -479,6 +495,7 @@ def hept_attention_core_xcols(
     canon: bool = False,
     kernel_center: bool = False,
     unsort_rows: bool = False,
+    gather_sort: bool = False,
 ) -> Array:
     """Post-sort-projection HEPT pipeline: sort the SHARED pre-projection
     activations instead of per-head q̂/k̂/v.
@@ -535,6 +552,16 @@ def hept_attention_core_xcols(
         same per-bucket sums, bitwise-equal output after reordering when
         packing is off (round 0 additionally skips the bf16 unsort rounding
         when unsort_pack is on — strictly less rounding).
+      gather_sort: EXACT dynamic-key fast path — replace the payload-
+        carrying variadic sorts (which move the whole [x|coords] payload
+        through lax.sort, re-running the comparator per VMEM chunk and
+        again in the VJP) with 2-operand ARGSORTS of the keys plus
+        broadcast-source ROW GATHERS of the payload. Same placements, same
+        f32 (or sort_pack bf16) rounding as the sort-carry; the VJP is a
+        row gather too (no backward sort). The sorted payload stays
+        ROW-major and the projections contract it directly, so no
+        transpose back. No-op when a static `plan` is supplied (the plan
+        paths already gather).
     Returns: (h, dv, n) attention output columns (canonical order under
     `canon`).
     """
@@ -557,6 +584,14 @@ def hept_attention_core_xcols(
     # per-event payload rows for the sort's batch axis: (nb, d_xc, ne). The
     # minor (lane) axis n is untouched, so this is a cheap major-dim copy.
     xc_rows = jnp.moveaxis(xc.reshape(d_xc, n_ev, ne), 1, 0)
+    # gather_sort: the payload source as point-major ROWS (one lane
+    # transpose of the 30-column payload per call) — every sorted copy is a
+    # broadcast-source row gather from this single copy.
+    xc_r = (
+        xc.reshape(d_xc, n_ev, ne).transpose(1, 2, 0)  # (n_ev, ne, d_xc)
+        if gather_sort and plan is None else None
+    )
+    q_inv_flat = None  # gather_sort's q-side inverse, reused by unsort_rows
     # under sort_pack the sorted activations stay bf16 (they are bf16-rounded
     # by the pack anyway): the projection matmuls read half the bytes and the
     # MXU consumes bf16 natively (weights cast to bf16 for those matmuls)
@@ -607,12 +642,25 @@ def hept_attention_core_xcols(
         if invalid is not None:
             big = jnp.asarray(3.0e38, jnp.float32)
             k_key = jnp.where(invalid[None, :], big, k_key)
-        (sxk,), (q_src,) = grouped_sort_carry(
-            [k_key.reshape(c, n_ev, ne)], [xc_rows],
-            pack=sort_pack, n_ops=sort_ops,
-            out_bf16=sort_pack,
-        )  # sxk (c, n_ev, d_xc, ne); q_src (c, n_ev, ne)
-        sxq = sxk
+        if gather_sort:
+            srcf, q_inv_flat = _argsort_keys(k_key.reshape(c * n_ev, ne))
+            sxk_r = permute_gather_rows(
+                xc_r, srcf, q_inv_flat, pack=sort_pack
+            )  # (c·n_ev, ne, d_xc) rows
+            if sort_pack:
+                # values are already bf16-rounded by the pack — the cast is
+                # exact and keeps the projection matmuls bf16 like the
+                # sort-carry path (out_bf16=sort_pack)
+                sxk_r = sxk_r.astype(jnp.bfloat16)
+            q_src = srcf.reshape(c, n_ev, ne)
+            sxq = sxk = None
+        else:
+            (sxk,), (q_src,) = grouped_sort_carry(
+                [k_key.reshape(c, n_ev, ne)], [xc_rows],
+                pack=sort_pack, n_ops=sort_ops,
+                out_bf16=sort_pack,
+            )  # sxk (c, n_ev, d_xc, ne); q_src (c, n_ev, ne)
+            sxq = sxk
     else:
         # Compose the hash projections through the (bias-free) q/k/v
         # projections: hash_q = (W_q^T alpha1) . x + (sqrt_w ⊙ alpha2) . coords.
@@ -651,15 +699,36 @@ def hept_attention_core_xcols(
         # composition is identical instead of independently chosen. The
         # n_hashes OR rounds still diversify the grouping; convergence is
         # validated on the synthetic tracking task (PARITY.md divergences).
-        xcb = jnp.broadcast_to(
-            xc_rows[None], (h, n_ev, d_xc, ne)
-        ).reshape(h * n_ev, d_xc, ne)
-        (sxk,), (q_src,) = grouped_sort_carry(
-            [k_key.reshape(c, h * n_ev, ne)], [xcb],
-            pack=sort_pack, n_ops=sort_ops,
-            out_bf16=sort_pack,
-        )
-        sxq = sxk  # (c, h*n_ev, d_xc, ne)
+        if gather_sort:
+            srcf, q_inv_flat = _argsort_keys(k_key.reshape(c * h * n_ev, ne))
+            sxk_r = permute_gather_rows(
+                xc_r, srcf, q_inv_flat, pack=sort_pack
+            )  # (c·h·n_ev, ne, d_xc) rows
+            if sort_pack:
+                sxk_r = sxk_r.astype(jnp.bfloat16)  # exact; see share_heads
+            sxq_r = sxk_r
+            q_src = srcf.reshape(c, h * n_ev, ne)
+            sxq = sxk = None
+        else:
+            xcb = jnp.broadcast_to(
+                xc_rows[None], (h, n_ev, d_xc, ne)
+            ).reshape(h * n_ev, d_xc, ne)
+            (sxk,), (q_src,) = grouped_sort_carry(
+                [k_key.reshape(c, h * n_ev, ne)], [xcb],
+                pack=sort_pack, n_ops=sort_ops,
+                out_bf16=sort_pack,
+            )
+            sxq = sxk  # (c, h*n_ev, d_xc, ne)
+    elif gather_sort:
+        q_srcf, q_inv_flat = _argsort_keys(q_key.reshape(c * h * n_ev, ne))
+        k_srcf, k_invf = _argsort_keys(k_key.reshape(c * h * n_ev, ne))
+        sxq_r = permute_gather_rows(xc_r, q_srcf, q_inv_flat, pack=sort_pack)
+        sxk_r = permute_gather_rows(xc_r, k_srcf, k_invf, pack=sort_pack)
+        if sort_pack:
+            sxq_r = sxq_r.astype(jnp.bfloat16)  # exact; see share_heads
+            sxk_r = sxk_r.astype(jnp.bfloat16)
+        q_src = q_srcf.reshape(c, h * n_ev, ne)
+        sxq = sxk = None
     else:
         xcb = jnp.broadcast_to(
             xc_rows[None], (h, n_ev, d_xc, ne)
@@ -698,7 +767,13 @@ def hept_attention_core_xcols(
 
     if share_heads:
         # sorted rows are per (hash, event) and shared by all heads
-        if plan is None:
+        rows_in = plan is None and gather_sort
+        if rows_in:
+            r4 = sxk_r.reshape(c, n_ev, ne, d_xc)
+            sxs = r4[..., :d_model]  # ROWS (c, n_ev, ne, d_model)
+            # coords flip to columns for the rpe concat (34 MB, cheap)
+            scs = jnp.moveaxis(r4[..., d_model:], -1, -2)  # (c, n_ev, cd, ne)
+        elif plan is None:
             sxs = sxk[:, :, :d_model]  # (c, n_ev, d_model, ne)
             scs = sxk[:, :, d_model:]  # (c, n_ev, cd, ne)
 
@@ -711,7 +786,8 @@ def hept_attention_core_xcols(
 
         def project(xs, w):
             proj = jnp.einsum(
-                "hed,cben->cbhdn", w.astype(xs.dtype), xs,
+                "hed,cbne->cbhdn" if rows_in else "hed,cben->cbhdn",
+                w.astype(xs.dtype), xs,
                 preferred_element_type=ptype,
             )  # (c, n_ev, h, d, ne)
             return jnp.concatenate([proj, rpe_sh], axis=3)
@@ -719,9 +795,31 @@ def hept_attention_core_xcols(
         sq = project(sxs, wq).reshape(c * n_ev * h, d + cd, ne)
         sk = project(sxs, wk).reshape(c * n_ev * h, d + cd, ne)
         sv = jnp.einsum(
-            "hed,cben->cbhdn", wv.astype(sxs.dtype), sxs,
+            "hed,cbne->cbhdn" if rows_in else "hed,cben->cbhdn",
+            wv.astype(sxs.dtype), sxs,
             preferred_element_type=ptype,
         ).reshape(c * n_ev * h, dv, ne)
+    elif gather_sort:
+        def project_r(sx_r, w):  # sx_r ROWS (c·h·n_ev, ne, d_xc)
+            sx5 = sx_r.reshape(c, h, n_ev, ne, d_xc)
+            xs, cs = sx5[..., :d_model], sx5[..., d_model:]
+            proj = jnp.einsum(
+                "hed,chbne->chbdn", w.astype(xs.dtype), xs,
+                preferred_element_type=ptype,
+            )  # (c, h, n_ev, d, ne)
+            rpe = _center(
+                sqrt_w[None, :, None, :, None]
+                * jnp.moveaxis(cs, -1, -2).astype(jnp.float32)
+            ).astype(ptype)
+            return jnp.concatenate([proj, rpe], axis=3)
+
+        sq = project_r(sxq_r, wq).reshape(c * h * n_ev, d + cd, ne)
+        sk = project_r(sxk_r, wk).reshape(c * h * n_ev, d + cd, ne)
+        sv = jnp.einsum(
+            "hed,chbne->chbdn", wv.astype(sxk_r.dtype),
+            sxk_r.reshape(c, h, n_ev, ne, d_xc)[..., :d_model],
+            preferred_element_type=ptype,
+        ).reshape(c * h * n_ev, dv, ne)
     else:
         def project(sx, w):  # sx (c, h*n_ev, d_xc, ne)
             sx = sx.reshape(c, h, n_ev, d_xc, ne)
@@ -808,7 +906,8 @@ def hept_attention_core_xcols(
             # unsort. Heads keep separate rows (their permutations differ).
             R = c * h * n_ev
             srcf = q_src.reshape(R, ne)
-            invf = _argsort_rows(srcf)
+            invf = q_inv_flat if q_inv_flat is not None \
+                else _argsort_rows(srcf)
             rows3 = jnp.swapaxes(
                 od.reshape(R, dv + 1, ne), -1, -2
             )  # (R, ne, dv+1) — one lane transpose
@@ -830,7 +929,8 @@ def hept_attention_core_xcols(
             # per-(round, event) permutation — argsort q_src once, one
             # merged-row gather (same row layout as the static-plan path).
             srcf = q_src.reshape(c * n_ev, ne)
-            invf = _argsort_rows(srcf)
+            invf = q_inv_flat if q_inv_flat is not None \
+                else _argsort_rows(srcf)
             rows4 = permute_gather_rows(
                 rows4.reshape(c * n_ev, ne, w_row), invf, srcf,
                 pack=bool(unsort_pack),
