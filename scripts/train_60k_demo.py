@@ -220,6 +220,22 @@ VARIANTS = {
     "parity": dict(sort_pack=False, sort_ops=1, unsort_pack=False,
                    shared_sort=False, share_heads=False, kernel_bf16=False,
                    static_keys=False, n_hashes=3, _attn_impl="hybrid"),
+    # parity + EXACT transport levers (bit-compatible with reference
+    # semantics; round-4 attribution arms for the <=400 ms parity target):
+    # r = row-gather unsort (dynamic per-head inverses), g = gather_sort
+    # (argsorted keys + broadcast-source row gathers for the q/k payload)
+    "parityr": dict(sort_pack=False, sort_ops=1, unsort_pack=False,
+                    shared_sort=False, share_heads=False, kernel_bf16=False,
+                    static_keys=False, n_hashes=3, unsort_rows=True,
+                    _attn_impl="hybrid"),
+    "parityg": dict(sort_pack=False, sort_ops=1, unsort_pack=False,
+                    shared_sort=False, share_heads=False, kernel_bf16=False,
+                    static_keys=False, n_hashes=3, gather_sort=True,
+                    _attn_impl="hybrid"),
+    "paritygr": dict(sort_pack=False, sort_ops=1, unsort_pack=False,
+                     shared_sort=False, share_heads=False, kernel_bf16=False,
+                     static_keys=False, n_hashes=3, gather_sort=True,
+                     unsort_rows=True, _attn_impl="hybrid"),
 }
 def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "full"
