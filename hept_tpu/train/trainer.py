@@ -561,6 +561,30 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
         )
 
     ckpt.close()
+    # Reference-flow parity + eval-corruption guard: restore the BEST
+    # checkpoint fresh from disk and re-evaluate test (the reference trains,
+    # reloads the best model, then tests — tracking_trainer.py end-of-run).
+    # A mismatch with the in-loop best_test flags transient eval corruption
+    # (ROADMAP round 4: two r12cv2r demos scored ~0.12 in-loop while their
+    # saved checkpoints score 0.94 post-hoc); the re-eval wins.
+    if best_test and cfg.num_epochs > 0:
+        try:
+            restored = CheckpointManager(run_dir / "ckpt").restore(state)
+            final = evaluate(cfg, model_apply, restored.variables, dataset,
+                             "test", block_size, n_max, e_max,
+                             eval_step=eval_step)
+            key = cfg.main_metric
+            if key in final and key in best_test and not np.isclose(
+                final[key], best_test[key], rtol=0, atol=1e-6
+            ):
+                log(
+                    f"WARNING: in-loop best test {key}={best_test[key]:.4f}"
+                    f" != restored-ckpt re-eval {final[key]:.4f} — trusting"
+                    " the re-eval (in-loop eval corruption?)"
+                )
+            best_test = final
+        except Exception as e:  # noqa: BLE001 — the guard must never kill a run
+            log(f"final re-eval skipped ({type(e).__name__}: {e})")
     logger.close()
     return best_test
 
