@@ -37,6 +37,8 @@ from hept_tpu.ops.bucket_attn import static_bucket_plan
 
 ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 30
 NE = int(sys.argv[2]) if len(sys.argv) > 2 else 60_000
+N_EVS = (tuple(int(v) for v in sys.argv[3].split(","))
+         if len(sys.argv) > 3 else (1, 2))
 C_PLAN = 8  # static_rounds
 C_L = 2  # n_hashes per layer
 H = 8
@@ -65,7 +67,7 @@ def timeit(fn, *args):
 
 
 results = {}
-for n_ev in (1, 2):
+for n_ev in N_EVS:
     n = n_ev * NE
 
     hashed = jnp.asarray(rng.standard_normal((C_PLAN, n)), jnp.float32)
@@ -137,7 +139,10 @@ for n_ev in (1, 2):
         results.setdefault(tag, {})[n_ev] = ms
         print(f"  {tag:<10s} {ms:8.3f} ms", flush=True)
 
-print("\nper-point B=2/2xB=1 ratios:", flush=True)
-for tag, r in results.items():
-    if 1 in r and 2 in r:
-        print(f"  {tag:<10s} {r[2] / (2 * r[1]):.3f}", flush=True)
+b0 = N_EVS[0]
+for b in N_EVS[1:]:
+    print(f"\nper-point B={b}/{b // b0 if b % b0 == 0 else b / b0}x"
+          f"B={b0} ratios:", flush=True)
+    for tag, r in results.items():
+        if b0 in r and b in r:
+            print(f"  {tag:<10s} {r[b] / (b / b0 * r[b0]):.3f}", flush=True)

@@ -17,8 +17,16 @@ while ! grep -q "queue28 done" /tmp/tpu_queue28.log 2>/dev/null; do
   sleep 120
 done
 
+# Stop launching items near round end so the driver's final bench.py run
+# gets the TPU to itself (contended timings would corrupt BENCH_r04).
+CUTOFF=$(date -d '2026-08-20 00:30 UTC' +%s)
+
 run() { # run <tag> <timeout_s> <cmd...>
   local tag="$1" to="$2"; shift 2
+  if [ "$(date +%s)" -gt "$CUTOFF" ]; then
+    echo "[$(date +%H:%M:%S)] cutoff reached; skipping $tag"
+    return
+  fi
   echo "[$(date +%H:%M:%S)] $tag"
   timeout "$to" "$@" > "runs/r4/$tag.log" 2>&1
   echo "$tag rc=$?"

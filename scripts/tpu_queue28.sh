@@ -29,7 +29,8 @@ run time_paritygr 2400 python scripts/time_step_variant.py paritygr
 run time_parityg  2400 python scripts/time_step_variant.py parityg
 run time_parityr  2400 python scripts/time_step_variant.py parityr
 run time_parity   2400 python scripts/time_step_variant.py parity
-run probe_b2_prims 2400 python scripts/probe_b2_primitives.py
+run probe_b2_prims 2400 python scripts/probe_b2_primitives.py 30 60000 1,2
+run probe_6k_prims 2400 python scripts/probe_b2_primitives.py 30 6000 1,8
 
 grep -h "STEP_MS" runs/r4/time_parity*.log 2>/dev/null || true
 echo "[$(date +%H:%M:%S)] queue28 done"
