@@ -34,12 +34,12 @@ run() { # run <tag> <timeout_s> <cmd...>
 }
 
 run demo_r12bs128cv2r_n50 7200 python scripts/train_60k_demo.py r12bs128cv2r 1e-2 42 50
+run demo_r12bs128cv2r_e50 7200 python scripts/train_60k_demo.py r12bs128cv2r 1e-2 42 10 50
 run pileup_acc_s42       3600 python scripts/train_pileup_60k_demo.py acc 42
 run time_r13bs128ccv2r   2400 python scripts/time_step_variant.py r13bs128ccv2r
 run demo_r13bs128ccv2r_s42 3600 python scripts/train_60k_demo.py r13bs128ccv2r 1e-2 42
-run pileup_headline_s0   3600 python scripts/train_pileup_60k_demo.py headline 0
 run probe_unsort_r4      2400 python scripts/probe_unsort_r4.py
-run demo_r12bs128cv2r_e50 7200 python scripts/train_60k_demo.py r12bs128cv2r 1e-2 42 10 50
+run pileup_headline_s0   3600 python scripts/train_pileup_60k_demo.py headline 0
 run demo_r16bs128cv2r_s42 3600 python scripts/train_60k_demo.py r16bs128cv2r 1e-2 42
 
 grep -h "RESULT" runs/r4/demo_*.log runs/r4/pileup_*.log 2>/dev/null | tail -8
