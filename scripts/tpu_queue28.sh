@@ -29,6 +29,9 @@ run time_paritygr 2400 python scripts/time_step_variant.py paritygr
 run time_parityg  2400 python scripts/time_step_variant.py parityg
 run time_parityr  2400 python scripts/time_step_variant.py parityr
 run time_parity   2400 python scripts/time_step_variant.py parity
+run time_r2knowngr 2400 python scripts/time_step_variant.py r2knowngr
+run time_r2knownr  2400 python scripts/time_step_variant.py r2knownr
+run time_r2known   2400 python scripts/time_step_variant.py r2known
 run probe_b2_prims 2400 python scripts/probe_b2_primitives.py 30 60000 1,2
 run probe_6k_prims 2400 python scripts/probe_b2_primitives.py 30 6000 1,8
 

@@ -30,6 +30,13 @@ VARIANTS = {
     # code — regression control: the base path was refactored since (static
     # plan plumbing, chunked sorts, stacked flat batching)
     "r2known": dict(share_heads=False, kernel_bf16=False),
+    # r2known + the round-4 EXACT transport levers (gather_sort + dynamic
+    # row unsort): same math, so r2known's 0.9566 convergence evidence
+    # carries — a timer alone moves the parity-accuracy Pareto point
+    "r2knownr": dict(share_heads=False, kernel_bf16=False,
+                     unsort_rows=True),
+    "r2knowngr": dict(share_heads=False, kernel_bf16=False,
+                      gather_sort=True, unsort_rows=True),
     # r2stack on pure-XLA attention: isolates the Pallas hybrid backward
     # without the static stack
     "r2xla": dict(_attn_impl="xla"),
