@@ -77,6 +77,14 @@ def test_gather_sort_shared_sort():
     _fwd_bwd_match(dict(shared_sort=True), seed=23)
 
 
+def test_gather_sort_r2known_stack():
+    """the r2known parity-accuracy stack's transport: shared_sort, bf16
+    sort/unsort packing, f32 kernels, gather_sort x dynamic unsort_rows —
+    the exact-lever combination whose timer moves the 0.9566 Pareto point."""
+    _fwd_bwd_match(dict(shared_sort=True, sort_pack=True, unsort_pack=True,
+                        unsort_rows=True), seed=27)
+
+
 @pytest.mark.parametrize("pack", [False, True])
 def test_gather_sort_share_heads(pack):
     _fwd_bwd_match(dict(share_heads=True, shared_sort=True,
