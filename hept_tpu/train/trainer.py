@@ -530,6 +530,13 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
             epoch_losses.append(metrics["loss"])
 
         train_loss = float(np.mean([float(l) for l in jax.device_get(epoch_losses)]))
+        # Fence the epoch's (buffer-donating) train steps before dispatching
+        # eval reads of the same params buffers. The loss device_get above
+        # already orders execution in principle; this explicit await is
+        # cheap insurance against stale/aliased reads through the async
+        # remote-TPU tunnel (ROADMAP round 4: two demos' in-loop evals
+        # scored ~0.12 while the same checkpoints score 0.94 post-hoc).
+        jax.block_until_ready(state.params)
         valid = evaluate(cfg, model_apply, state.variables, dataset, "valid",
                         block_size, n_max, e_max, eval_step=eval_step)
         logger.write(epoch, {"loss": train_loss, "epoch_sec": time.time() - t0},
