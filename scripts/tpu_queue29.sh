@@ -34,6 +34,8 @@ run() { # run <tag> <timeout_s> <cmd...>
 
 run demo_r12bs128cv2r_e50_s0 7200 python scripts/train_60k_demo.py r12bs128cv2r 1e-2 0 10 50
 run demo_r12bs128cv2r_e50_s1 7200 python scripts/train_60k_demo.py r12bs128cv2r 1e-2 1 10 50
+run demo_nh2r8cv2r_s1b 3600 python scripts/train_60k_demo.py nh2r8cv2r 1e-2 1
+run demo_r12cv2r_s0b   3600 python scripts/train_60k_demo.py r12cv2r 1e-2 0
 run demo_r12bs128cv2rb4_s42 3600 python scripts/train_60k_demo.py r12bs128cv2rb4 1e-2 42
 run bench_r4_final 5400 python bench.py
 
