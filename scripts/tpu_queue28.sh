@@ -34,6 +34,7 @@ run time_r2knownr  2400 python scripts/time_step_variant.py r2knownr
 run time_r2known   2400 python scripts/time_step_variant.py r2known
 run probe_b2_prims 2400 python scripts/probe_b2_primitives.py 30 60000 1,2
 run probe_6k_prims 2400 python scripts/probe_b2_primitives.py 30 6000 1,8
+run dump_b2_hlo    2400 python scripts/dump_b2_hlo.py
 
 grep -h "STEP_MS" runs/r4/time_parity*.log 2>/dev/null || true
 echo "[$(date +%H:%M:%S)] queue28 done"
