@@ -25,6 +25,12 @@ run() { # run <tag> <timeout_s> <cmd...>
   tail -n 4 "runs/r4/$tag.log" | grep -v "^WARNING" || true
 }
 
+# Cache-poisoning discriminator FIRST (gates the r12cv2r numbers): the
+# corrupted s42ctl run's checkpoint, evaluated at the demo's exact static
+# shapes, with the shared cache vs a fresh one.
+run diag_cache_old   2400 python scripts/diag_cache_poison.py /tmp/train60k/0819-151954_tracking_trans_hept_42_ r12cv2r /root/.cache/jaxcache
+run diag_cache_fresh 2400 python scripts/diag_cache_poison.py /tmp/train60k/0819-151954_tracking_trans_hept_42_ r12cv2r /tmp/jaxcache_fresh
+
 run time_paritygr 2400 python scripts/time_step_variant.py paritygr
 run time_parityg  2400 python scripts/time_step_variant.py parityg
 run time_parityr  2400 python scripts/time_step_variant.py parityr
