@@ -246,14 +246,17 @@ def main():
             sort_pack=False, sort_ops=1, unsort_pack=False, shared_sort=False,
             share_heads=False, kernel_bf16=False, kernel_center=False,
             static_keys=False, canon_residual=False,
-            unsort_rows=True,  # EXACT row-gather unsort (per-head dynamic
-            # inverses from one argsort of q_src; bit-compatible f32
-            # transport — tests/test_unsort_rows.py dynamic_per_head) —
-            # an allowed exact-preserving lever, not a divergence
-            gather_sort=True,  # EXACT transport change for the q/k payload
-            # sorts too: 2-operand key argsorts + broadcast-source row
-            # gathers (tests/test_gather_sort.py per_head_rows) — no
-            # payload rides a lax.sort comparator in either direction
+            # NOTE round-4 negative result: the exact transport levers
+            # (unsort_rows dynamic + gather_sort) REGRESS parity on
+            # hardware — 945.8 ms vs 599 (runs/r4/bench_r4.log) — because
+            # the per-head parity payloads are NARROW (100-120 B/row f32)
+            # and TPU row gathers run ~8 GB/s at those widths (the round-1
+            # finding that made payload-through-sort the design). Both
+            # levers stay implemented + tested (exact; they win at the
+            # >=400 B row widths of the fast arms' unsort); the parity
+            # mode keeps the variadic-sort transport. Attribution timers:
+            # runs/r4/time_parity*.log (queue28).
+            unsort_rows=False, gather_sort=False,
             attn_impl="hybrid",
             n_hashes=3, static_rounds=0,  # reference OR width, per-layer keys
         ))
