@@ -26,8 +26,14 @@ from pathlib import Path
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/scripts")
 
+import os
+
 import jax
 
+# The axon TPU plugin overrides the JAX_PLATFORMS env var; force the
+# backend through jax.config when requested (CPU discriminator leg).
+if os.environ.get("HEPT_DIAG_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["HEPT_DIAG_PLATFORM"])
 jax.config.update("jax_compilation_cache_dir", sys.argv[3])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

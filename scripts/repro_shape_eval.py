@@ -1,23 +1,31 @@
-"""Minimal repro for the r12cv2r eval corruption: padding-shape invariance.
+"""Minimal repro + isolation for the r12cv2r eval corruption.
 
-The corrupted demos evaluate at 10-event sizing (n_max=58300,
-e_max=1356544); diag_tpu_eval at one-event sizing scores the same
-checkpoint 0.9453.  Padding is supposed to be inert: the forward output on
-VALID points must not depend on n_max/e_max.  This script runs the eval
-forward on ONE valid-split event at both sizings with IDENTICAL params and
-compares the valid-point embeddings + the retrieval metric.
+Established so far (runs/r4): the r12cv2r demos' in-loop eval reports
+acc@0.9 ~0.15 at the 10-event demo sizing (n_max=58300, e_max=1356544) on
+TPU, deterministically (fresh compile cache reproduces, diag_cache_*), while
+the SAME checkpoint + config + shapes on CPU scores 0.89
+(diag_cpu_demoshapes.log) and one-event sizing on TPU scores 0.9453
+(diag_tpu_eval.log). So the TPU-compiled program is wrong at those exact
+static shapes for this config.
 
-  - big-vs-small outputs diverge  -> the padding/plan path is shape-buggy
-       (bisect with flag overrides below)
-  - outputs match everywhere      -> the corruption needs the full split /
-       other state; look elsewhere
+The eval jit fuses forward + loss + retrieval metric into ONE program, but
+the forward never consumes e_max (pairs only feed the loss). This script
+isolates where the corruption lives by running, at each sizing:
 
-Params: random init by default (layout bugs show at any params); pass a
-run_dir as argv[2] to use the trained checkpoint instead.
+  leg "evalstep":  the production fused eval body (make_eval_step) ->
+                   loss + acc — reproduces the corruption if present;
+  leg "fwd":       jit(model_apply) alone -> valid-point embeddings,
+                   compared across sizings (padding must be inert);
+
+over sizings A=(nA,eA) one-event, B=(nB,eB) demo, AB=(nA,eB), BA=(nB,eA) —
+the mixed sizings attribute the trigger to n_max vs e_max.
+
+Params: random init by default; pass a run_dir to use a trained checkpoint
+(the corruption may need trained weight magnitudes).
 
 Usage:
-  [JAX_PLATFORMS=cpu] python scripts/repro_shape_eval.py <variant> [run_dir]
-      [flag=value ...]   # overrides merged into model_kwargs
+  [HEPT_DIAG_PLATFORM=cpu] python scripts/repro_shape_eval.py <variant>
+      [run_dir] [flag=value ...]    # overrides merged into model_kwargs
 """
 import sys
 from pathlib import Path
@@ -25,7 +33,18 @@ from pathlib import Path
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/scripts")
 
+import os
+
 import jax
+
+# The axon TPU plugin overrides the JAX_PLATFORMS env var; force the
+# backend through jax.config when requested.
+if os.environ.get("HEPT_DIAG_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["HEPT_DIAG_PLATFORM"])
+if os.environ.get("HEPT_REPRO_CACHE", "1") != "0":
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,11 +55,11 @@ from hept_tpu.data.datasets import make_synthetic_tracking
 from hept_tpu.train.config import ExperimentConfig
 from hept_tpu.train.trainer import (
     _ceil,
+    _init_model,
     build_model,
-    evaluate,
+    make_eval_step,
     make_model_apply,
 )
-from hept_tpu.train.metrics import tracking_metrics_batch
 
 variant = sys.argv[1] if len(sys.argv) > 1 else "r12cv2r"
 run_dir = None
@@ -78,8 +97,9 @@ cfg = ExperimentConfig(
     log_dir="/tmp/repro_shape", attn_impl=attn_impl, eval_chunk=1,
 )
 
-ds = make_synthetic_tracking(n_events=10, n_points=60_000, seed=0,
-                             avg_track_size=8, pairs_per_point=16)
+ds = make_synthetic_tracking(
+    n_events=10, n_points=int(os.environ.get("HEPT_REPRO_N", 60_000)),
+    seed=0, avg_track_size=8, pairs_per_point=16)
 ev = ds.valid[0]
 bs = mk["block_size"]
 
@@ -93,6 +113,8 @@ eB = max(processed_pair_len(e.pairs, e.n, 128)
          for s in ("train", "valid", "test") for e in getattr(ds, s))
 eB += 2 * int(eB * cfg.pair_aug_p / 2)
 eB = _ceil(eB + max(256, eB // 16), 128)
+print(f"backend={jax.default_backend()} variant={variant} "
+      f"overrides={overrides}", flush=True)
 print(f"event n={ev.n}; A: n_max={nA} e_max={eA}; B: n_max={nB} e_max={eB}",
       flush=True)
 
@@ -116,26 +138,41 @@ if run_dir is not None:
     print(f"params: checkpoint step {step}", flush=True)
 else:
     b0 = pack_events([ev], bs, n_max=nA, e_max=eA, window_pairs=128)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jax.tree_util.tree_map(jnp.asarray, b0))
+    variables = _init_model(
+        model, mc, jax.random.PRNGKey(0),
+        jax.tree_util.tree_map(jnp.asarray, b0))
     print("params: random init", flush=True)
 
-outs = {}
-for tag, (nm, em) in {"A": (nA, eA), "B": (nB, eB)}.items():
+sizings = {"A": (nA, eA), "B": (nB, eB), "AB": (nA, eB), "BA": (nB, eA)}
+batches = {}
+for tag, (nm, em) in sizings.items():
     b = pack_events([ev], bs, n_max=nm, e_max=em, window_pairs=128)
-    jb = jax.tree_util.tree_map(jnp.asarray, b)
-    out = jax.jit(model_apply)(variables, jb)
-    tm = tracking_metrics_batch(out, jb["cluster_ids"], jb["recons"],
-                                jb["pts"], jb["valid"])
-    acc = float(np.asarray(tm)[..., 2, 0].mean())
-    o = np.asarray(out)[np.asarray(b["valid"], bool)]
-    outs[tag] = o
-    print(f"{tag}: out[valid] shape={o.shape} norm={np.linalg.norm(o):.4f} "
-          f"acc@0.9={acc:.4f}", flush=True)
+    batches[tag] = jax.tree_util.tree_map(jnp.asarray, b)
+
+# leg 1: the production fused eval step (forward + loss + metric, one jit)
+eval_step = make_eval_step(cfg, model_apply, chunk=1)
+for tag, jb in batches.items():
+    loss, tm = eval_step(1)(variables, jb)
+    tm = np.asarray(tm)
+    print(f"evalstep {tag} (n={sizings[tag][0]} e={sizings[tag][1]}): "
+          f"loss={float(loss):.4f} acc@0.9={tm[..., 2, 0].mean():.4f} "
+          f"recall@0.9={tm[..., 2, 2].mean():.4f}", flush=True)
+
+# leg 2: forward only, padding invariance of valid-point embeddings
+outs = {}
+fwd = jax.jit(lambda v, jb: model_apply(v, jb))
+for tag in ("A", "B"):
+    jb = batches[tag]
+    out = fwd(variables, jb)
+    o = np.asarray(out)
+    vmask = np.asarray(jb["valid"], bool)
+    outs[tag] = o[vmask] if o.shape[:vmask.ndim] == vmask.shape else o[0][vmask[0]]
+    print(f"fwd {tag}: out[valid] shape={outs[tag].shape} "
+          f"norm={np.linalg.norm(outs[tag]):.4f}", flush=True)
 
 a, b_ = outs["A"], outs["B"]
 ad = np.abs(a - b_)
-rel = ad.max() / (np.abs(a).max() + 1e-12)
-print(f"max abs diff={ad.max():.6g} max rel={rel:.6g} "
-      f"mean abs={ad.mean():.6g}", flush=True)
-print("VERDICT:", "DIVERGES" if rel > 1e-2 else "matches", flush=True)
+rel = float(ad.max() / (np.abs(a).max() + 1e-12))
+print(f"fwd A-vs-B: max abs diff={ad.max():.6g} max rel={rel:.6g} "
+      f"frac rows >1e-2={np.mean((ad.max(axis=-1) > 1e-2)):.4f}", flush=True)
+print("FWD VERDICT:", "DIVERGES" if rel > 1e-2 else "matches", flush=True)
