@@ -92,6 +92,17 @@ class ExperimentConfig:
     # opt-in until scripts/diag_tpu_eval.py exonerates the lax.map path on
     # hardware.
     eval_chunk: int = 1
+    # End-of-run shape cross-check: re-evaluate the restored best checkpoint
+    # a second time at PERTURBED static shapes (n_max + block_size,
+    # e_max + 128) and warn when the main metric moves by more than
+    # eval_shape_check_tol. Padding is inert, so a real model scores the
+    # same at both sizings; a deterministic shape-specific wrong-result in
+    # the compiled eval program (ROADMAP round 4 "RE-DIAGNOSED": the
+    # r12cv2r TPU eval computed acc 0.149 at one sizing and 0.945 at
+    # another, same checkpoint) fails the check. Costs one extra eval
+    # compile per run; off by default.
+    eval_shape_check: bool = False
+    eval_shape_check_tol: float = 0.02
 
     def model_config(self, in_dim: int, coords_dim: int) -> TransformerConfig:
         kw = dict(self.model_kwargs)

@@ -590,6 +590,28 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
                     " the re-eval (in-loop eval corruption?)"
                 )
             best_test = final
+            # Shape cross-check (opt-in): the same checkpoint at perturbed
+            # static shapes must score the same — padding is inert. Catches
+            # deterministic shape-specific wrong-results in the compiled
+            # eval program (ROADMAP round 4 "RE-DIAGNOSED") that the
+            # same-shapes re-eval above cannot see.
+            if getattr(cfg, "eval_shape_check", False) and key in final:
+                alt = evaluate(
+                    cfg, model_apply, restored.variables, dataset, "test",
+                    block_size, n_max + block_size,
+                    (e_max + 128) if e_max else e_max,
+                )
+                tol = getattr(cfg, "eval_shape_check_tol", 0.02)
+                if key in alt and abs(alt[key] - final[key]) > tol:
+                    log(
+                        f"WARNING: shape cross-check failed — test {key}="
+                        f"{final[key]:.4f} at (n_max={n_max}, e_max={e_max})"
+                        f" vs {alt[key]:.4f} at perturbed shapes; one of the"
+                        " compiled eval programs is wrong"
+                    )
+                else:
+                    log(f"shape cross-check ok ({key}: {final[key]:.4f} vs "
+                        f"{alt.get(key, float('nan')):.4f})")
         except Exception as e:  # noqa: BLE001 — the guard must never kill a run
             log(f"final re-eval skipped ({type(e).__name__}: {e})")
     logger.close()

@@ -285,6 +285,9 @@ def main():
         mode="max",
         log_dir="/tmp/train60k",
         attn_impl=attn_impl,
+        # one extra eval compile/run per demo; catches shape-specific
+        # wrong-results in the compiled eval program (ROADMAP RE-DIAGNOSED)
+        eval_shape_check=True,
     )
     res = run_one_seed(cfg, dataset=ds)
     print(f"RESULT tracking-60k [{variant} lr={lr:g} seed={seed} n={n_events}x{epochs}ep]: "

@@ -56,6 +56,7 @@ cfg = ExperimentConfig(
     mode="max",
     log_dir="/tmp/train_pileup60k",
     attn_impl=attn_impl,
+    eval_shape_check=True,
 )
 res = run_one_seed(cfg, dataset=ds)
 print(f"RESULT pileup-60k [{variant} seed={seed}]: " + " ".join(

@@ -37,6 +37,31 @@ def test_tracking_e2e(tmp_path):
         assert 0.0 <= res[key] <= 1.0
 
 
+def test_eval_shape_check_passes_on_healthy_model(tmp_path, capsys):
+    """The opt-in end-of-run shape cross-check (re-eval at perturbed n_max/
+    e_max) must agree with the same-shapes re-eval on a healthy backend —
+    padding is inert. Guards the detector for shape-specific wrong-results
+    in compiled eval programs (ROADMAP round 4 'RE-DIAGNOSED')."""
+    ds = make_synthetic_tracking(n_events=8, n_points=128, seed=0)
+    cfg = ExperimentConfig(
+        task="tracking",
+        model_kwargs=TINY_MODEL,
+        optimizer_kwargs={"lr": 1e-3},
+        num_epochs=2,
+        batch_size=2,
+        main_metric="accuracy@0.9",
+        mode="max",
+        log_dir=str(tmp_path),
+        attn_impl="xla",
+        eval_shape_check=True,
+    )
+    res = run_one_seed(cfg, dataset=ds)
+    assert np.isfinite(res["loss"])
+    out = capsys.readouterr().out
+    assert "shape cross-check ok" in out
+    assert "shape cross-check failed" not in out
+
+
 def test_eval_chunking_metric_equivalence(tmp_path):
     """evaluate() with the lax.map'ed chunked eval step (eval_chunk=3 over
     7 batches: two full chunks + a size-1 remainder) must produce the SAME
