@@ -64,27 +64,27 @@ def window_pad_pairs(pairs: np.ndarray, group: int = 128) -> tuple[np.ndarray, n
         return pairs.reshape(2, 0), np.zeros((0,), bool)
     # greedy run construction: a run starting at i extends to
     # min(i + group, first j with p0[j] >= p0[i] + group)
-    limit = np.searchsorted(p0, p0 + group, side="left")  # (E,)
     starts = []
     i = 0
     while i < e:
         starts.append(i)
-        i = min(i + group, int(limit[i]))
+        # lazy limit: one scalar searchsorted per run instead of an (E,)
+        # vector one (the run walk reads ~e/group of its entries)
+        lim = int(np.searchsorted(p0, p0[i] + group, side="left"))
+        i = min(i + group, lim)
     starts.append(e)
-    n_runs = len(starts) - 1
-    out = np.empty((2, n_runs * group), dtype=pairs.dtype)
-    mask = np.zeros(n_runs * group, bool)
-    for r in range(n_runs):
-        s, t = starts[r], starts[r + 1]
-        ln = t - s
-        blk = out[:, r * group : (r + 1) * group]
-        blk[:, :ln] = pairs[:, s:t]
-        if ln < group:
-            # pad with the next real pair (anchor order stays sorted); the
-            # final run pads with its own last pair
-            src = pairs[:, t] if t < e else pairs[:, t - 1]
-            blk[:, ln:] = src[:, None]
-        mask[r * group : r * group + ln] = True
+    sa = np.asarray(starts, np.int64)
+    n_runs = sa.shape[0] - 1
+    # vectorized run copy: slot j of run r reads pairs[:, s_r + j] while
+    # real (j < len_r), else the run's END pair t_r (the next real pair —
+    # anchor order stays sorted; the final run pads with its own last pair)
+    offs = np.tile(np.arange(group, dtype=np.int64), n_runs)
+    base = np.repeat(sa[:-1], group)
+    lens = np.repeat(sa[1:] - sa[:-1], group)
+    ends = np.repeat(np.minimum(sa[1:], e - 1), group)
+    mask = offs < lens
+    src = np.where(mask, base + offs, ends)
+    out = pairs[:, src]
     return out, mask
 
 
@@ -102,12 +102,16 @@ def processed_pair_len(pairs: np.ndarray, n: int, window: int = 128) -> int:
     key = np.unique(both)  # sorted by (anchor, partner)
     p0 = key // n  # anchor column of the symmetrized anchor-sorted pairs
     e = p0.shape[0]
-    limit = np.searchsorted(p0, p0 + window, side="left")
+    # The run walk visits ~e/window positions; computing `limit` for ALL e
+    # positions up front was a 2M-element int64 searchsorted (~0.7 s/event
+    # on the 1-vCPU host) of which ~16k entries were read. Scalar lookups
+    # at the visited positions only.
     i = 0
     n_runs = 0
     while i < e:
         n_runs += 1
-        i = min(i + window, int(limit[i]))
+        lim = int(np.searchsorted(p0, p0[i] + window, side="left"))
+        i = min(i + window, lim)
     return n_runs * window
 
 
@@ -118,11 +122,19 @@ def _symmetrize_pairs(pairs: np.ndarray, n: int) -> np.ndarray:
     radius pairs (tracking.py:204-209) can truncate asymmetrically. The
     windowed-loss backward rewrites the partner-side scatter as an
     anchor-side scatter of reversed cotangents (ops/pair_ops.partner_gather),
-    which requires every pair's reverse to be present exactly once."""
+    which requires every pair's reverse to be present exactly once.
+
+    Returns pairs in canonical (anchor, partner) lexicographic order — i.e.
+    already anchor-sorted — so callers skip the anchor argsort. (Round 4:
+    this replaced first-occurrence tie order; the pair SET, masks, weights
+    and rev-closure are unchanged, only in-window fp summation order moved.)
+    """
     both = np.concatenate([pairs, pairs[::-1]], axis=1)
-    key = both[0].astype(np.int64) * n + both[1]
-    _, uniq = np.unique(key, return_index=True)
-    return both[:, np.sort(uniq)]
+    key = np.unique(both[0].astype(np.int64) * n + both[1])
+    out = np.empty((2, key.shape[0]), dtype=pairs.dtype)
+    np.floor_divide(key, n, out=out[0], casting="unsafe")
+    np.remainder(key, n, out=out[1], casting="unsafe")
+    return out
 
 
 def _pair_rev_index(pairs: np.ndarray, pmask: np.ndarray, n: int) -> np.ndarray:
@@ -136,10 +148,20 @@ def _pair_rev_index(pairs: np.ndarray, pmask: np.ndarray, n: int) -> np.ndarray:
         return rev
     key = pairs[0, real].astype(np.int64) * n + pairs[1, real]
     rkey = pairs[1, real].astype(np.int64) * n + pairs[0, real]
-    order = np.argsort(key, kind="stable")
-    pos = np.searchsorted(key[order], rkey)
-    target = real[order[np.clip(pos, 0, real.size - 1)]]
-    ok = key[order[np.clip(pos, 0, real.size - 1)]] == rkey
+    if key.size > 1 and (key[1:] > key[:-1]).all():
+        order = None  # canonical packing: real slots already key-sorted
+    else:
+        order = np.argsort(key, kind="stable")
+    # rank of rkey[i] among the rkeys == its position in sorted(key) when
+    # the two sets are equal (reversal closure) — one argsort instead of a
+    # 2M-element binary-search (searchsorted was ~0.7 s/event on this host);
+    # the equality check below still catches a non-closed pair list exactly.
+    order_r = np.argsort(rkey, kind="stable")
+    pos = np.empty(rkey.size, np.int64)
+    pos[order_r] = np.arange(rkey.size)
+    opos = pos if order is None else order[pos]
+    target = real[opos]
+    ok = key[opos] == rkey
     if not ok.all():
         raise ValueError("pair list not closed under reversal")
     rev[real] = target.astype(np.int32)
@@ -235,13 +257,15 @@ def pack_events(
             has_cluster = ev.cluster_ids is not None and ev.recons is not None \
                 and ev.pts is not None
             if window_pairs and has_cluster:
+                # returns canonical (anchor, partner) order == anchor-sorted
                 pairs = _symmetrize_pairs(pairs, ni)
-            # anchor-sorted pairs: the loss's per-anchor segment sums become
-            # sorted-segment reductions and the anchor gathers become
-            # near-contiguous (the InfoNCE hot-path lever). Order is
-            # semantically irrelevant (all reductions are order-invariant).
-            order = np.argsort(pairs[0], kind="stable")
-            pairs = pairs[:, order]
+            else:
+                # anchor-sorted pairs: the loss's per-anchor segment sums
+                # become sorted-segment reductions and the anchor gathers
+                # become near-contiguous (the InfoNCE hot-path lever). Order
+                # is semantically irrelevant (reductions are order-invariant).
+                order = np.argsort(pairs[0], kind="stable")
+                pairs = pairs[:, order]
             pmask = None
             if window_pairs:
                 pairs, pmask = window_pad_pairs(pairs, window_pairs)
