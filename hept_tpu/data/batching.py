@@ -203,6 +203,100 @@ def _pair_cluster_weights(
     return w, neg
 
 
+def _process_event_pairs(
+    ev: Event,
+    aug_pair_p: float,
+    aug_rng: np.random.Generator | None,
+    window: int,
+    cache: bool,
+) -> tuple[np.ndarray, np.ndarray | None, np.ndarray | None, bool]:
+    """One event's supervision pairs → (windowed pairs, mask, rev, has_cluster).
+
+    `rev` is the reverse-pair index (None outside the windowed+cluster path).
+
+    cache=True attaches the aug-independent processed base block to the
+    Event (symmetrize → window-pad → reverse index + sorted base keys, built
+    once) and, per call, dedups the fresh augmentation draw against it and
+    appends the aug pairs as a SEPARATE trailing windowed block. The pair
+    SET, masks, weights, reversal closure and per-window span invariant are
+    identical to a full re-pack; only the window grouping (hence in-window
+    fp summation order) differs from the uncached interleaved layout. The
+    rng consumption is identical to the uncached path. Costs ~20 MB per 60k
+    event; a full re-pack was ~0.7 s/event/epoch on the 1-vCPU host.
+    """
+    pairs = ev.pairs
+    ni = ev.n
+    has_cluster = ev.cluster_ids is not None and ev.recons is not None \
+        and ev.pts is not None
+    rnd = None
+    if aug_pair_p > 0.0 and aug_rng is not None:
+        # train-time random pair augmentation (reference
+        # tracking_trainer.py process_data:45-52): append int(E * p / 2)
+        # random pairs, both directions. The reference dedups via
+        # to_undirected; at p=0.2 duplicate draws are negligible.
+        n_aug = int(pairs.shape[1] * aug_pair_p / 2)
+        if n_aug:
+            rnd = aug_rng.integers(0, ni, (2, n_aug))
+    if not (window and has_cluster):
+        if rnd is not None:
+            both = np.concatenate([rnd, rnd[::-1]], axis=1)
+            pairs = np.concatenate([pairs, both.astype(pairs.dtype)], axis=1)
+        # anchor-sorted pairs: the loss's per-anchor segment sums become
+        # sorted-segment reductions and the anchor gathers become
+        # near-contiguous (the InfoNCE hot-path lever). Order is
+        # semantically irrelevant (all reductions are order-invariant).
+        order = np.argsort(pairs[0], kind="stable")
+        pairs = pairs[:, order]
+        pmask = None
+        if window:
+            pairs, pmask = window_pad_pairs(pairs, window)
+        return pairs, pmask, None, has_cluster
+    if not cache:
+        if rnd is not None:
+            both = np.concatenate([rnd, rnd[::-1]], axis=1)
+            pairs = np.concatenate([pairs, both.astype(pairs.dtype)], axis=1)
+        # returns canonical (anchor, partner) order == anchor-sorted
+        pairs = _symmetrize_pairs(pairs, ni)
+        pairs, pmask = window_pad_pairs(pairs, window)
+        return pairs, pmask, _pair_rev_index(pairs, pmask, ni), True
+    store = getattr(ev, "_pair_pack_cache", None)
+    if store is None:
+        store = {}
+        ev._pair_pack_cache = store
+    if window not in store:
+        base = _symmetrize_pairs(ev.pairs, ni)
+        bkeys = base[0].astype(np.int64) * ni + base[1]  # sorted (canonical)
+        bpairs, bmask = window_pad_pairs(base, window)
+        brev = _pair_rev_index(bpairs, bmask, ni)
+        store[window] = (bkeys, bpairs, bmask, brev)
+    bkeys, bpairs, bmask, brev = store[window]
+    if rnd is None:
+        return bpairs, bmask, brev, True
+    akey = np.unique(np.concatenate([
+        rnd[0].astype(np.int64) * ni + rnd[1],
+        rnd[1].astype(np.int64) * ni + rnd[0],
+    ]))
+    if bkeys.size:
+        # drop draws already in the base set (base is reversal-closed, so
+        # closure of the remaining aug set is preserved)
+        ins = np.minimum(np.searchsorted(bkeys, akey), bkeys.size - 1)
+        akey = akey[bkeys[ins] != akey]
+    if akey.size == 0:
+        return bpairs, bmask, brev, True
+    apairs = np.empty((2, akey.size), dtype=ev.pairs.dtype)
+    np.floor_divide(akey, ni, out=apairs[0], casting="unsafe")
+    np.remainder(akey, ni, out=apairs[1], casting="unsafe")
+    apairs_w, amask = window_pad_pairs(apairs, window)
+    arev = _pair_rev_index(apairs_w, amask, ni)
+    off = bpairs.shape[1]
+    return (
+        np.concatenate([bpairs, apairs_w], axis=1),
+        np.concatenate([bmask, amask]),
+        np.concatenate([brev, (arev + off).astype(brev.dtype)]),
+        True,
+    )
+
+
 def pack_events(
     events: Sequence[Event],
     block_size: int,
@@ -211,6 +305,7 @@ def pack_events(
     aug_pair_p: float = 0.0,
     aug_rng: np.random.Generator | None = None,
     window_pairs: int = 0,
+    cache: bool = False,
 ) -> dict:
     """Pack events into dense arrays.
 
@@ -239,38 +334,11 @@ def pack_events(
         # sizing from the raw counts silently truncated window pads, broke
         # the whole-128-window invariant the Pallas pair kernels require,
         # and made the loss fall back to XLA element scatter.
-        processed = []
-        for ev in events:
-            pairs = ev.pairs
-            ni = ev.n
-            if aug_pair_p > 0.0 and aug_rng is not None:
-                # train-time random pair augmentation (reference
-                # tracking_trainer.py process_data:45-52): append
-                # int(E * p / 2) random pairs, both directions. The reference
-                # dedups via to_undirected; at p=0.2 duplicate draws are
-                # negligible and skipped here.
-                n_aug = int(pairs.shape[1] * aug_pair_p / 2)
-                if n_aug:
-                    rnd = aug_rng.integers(0, ni, (2, n_aug))
-                    both = np.concatenate([rnd, rnd[::-1]], axis=1)
-                    pairs = np.concatenate([pairs, both], axis=1)
-            has_cluster = ev.cluster_ids is not None and ev.recons is not None \
-                and ev.pts is not None
-            if window_pairs and has_cluster:
-                # returns canonical (anchor, partner) order == anchor-sorted
-                pairs = _symmetrize_pairs(pairs, ni)
-            else:
-                # anchor-sorted pairs: the loss's per-anchor segment sums
-                # become sorted-segment reductions and the anchor gathers
-                # become near-contiguous (the InfoNCE hot-path lever). Order
-                # is semantically irrelevant (reductions are order-invariant).
-                order = np.argsort(pairs[0], kind="stable")
-                pairs = pairs[:, order]
-            pmask = None
-            if window_pairs:
-                pairs, pmask = window_pad_pairs(pairs, window_pairs)
-            processed.append((pairs, pmask, has_cluster))
-        e_req = max(p.shape[1] for p, _, _ in processed)
+        processed = [
+            _process_event_pairs(ev, aug_pair_p, aug_rng, window_pairs, cache)
+            for ev in events
+        ]
+        e_req = max(p.shape[1] for p, _, _, _ in processed)
         if window_pairs:
             e_req = _ceil_to(max(e_req, window_pairs), window_pairs)
         e = e_max or e_req
@@ -296,7 +364,7 @@ def pack_events(
             if val is not None:
                 out[name][i, :ni] = val
         if has_pairs:
-            pairs, pmask, has_cluster = processed[i]
+            pairs, pmask, rev, has_cluster = processed[i]
             ei = pairs.shape[1]
             take = min(ei, out["pairs"].shape[2])
             dropped += ei - take
@@ -316,7 +384,7 @@ def pack_events(
                     )
                     out["pair_weight"] = np.zeros((b, e_out), np.float32)
                     out["pair_neg"] = np.zeros((b, e_out), bool)
-                out["pair_rev"][i, :take] = _pair_rev_index(pairs, pmask, ni)
+                out["pair_rev"][i, :take] = rev
                 w_i, neg_i = _pair_cluster_weights(
                     pairs, pmask, ev.cluster_ids, ev.recons, ev.pts
                 )

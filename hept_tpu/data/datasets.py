@@ -54,6 +54,13 @@ class SplitDataset:
                 aug_pair_p=aug_pair_p if shuffle_rng is not None else 0.0,
                 aug_rng=shuffle_rng,
                 window_pairs=window_pairs,
+                # per-event processed-pair cache: the aug-independent base
+                # block is built once per event and fresh augmentation pairs
+                # are appended as a separate windowed block (identical pair
+                # set/masks/closure, ~20 MB per 60k event) — a full re-pack
+                # was ~0.7 s/event/epoch of host time, which made 60k-scale
+                # epochs host-bound at 1 vCPU (batching._process_event_pairs)
+                cache=True,
             )
 
 
