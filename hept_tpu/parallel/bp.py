@@ -42,6 +42,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.buckets import grouped_sort_carry
 from ..ops.bucket_attn import bucket_rbf_attention_cols_xla, stable_ratio
+from .dsort import invert_perm, permute_overflows, route_local, sort_perm
 
 
 def make_bucket_sharded_attention(
@@ -50,6 +51,8 @@ def make_bucket_sharded_attention(
     *,
     block_size: int,
     sort_ops: int = 8,
+    transport: str = "replicated",
+    cap_factor: float = 2.0,
 ):
     """Build a bucket-sharded `share_heads`-style HEPT attention layer.
 
@@ -58,8 +61,18 @@ def make_bucket_sharded_attention(
     share_heads=True, f32 transport, XLA kernels; all inputs replicated
     (P()), output replicated. n must be a multiple of
     mesh.shape[axis] * block_size.
+
+    transport="replicated": every chip carries the full payload through the
+    bucket sort and unsort (the v1 Amdahl term). transport="distributed":
+    only the 1-row key COMPARATOR sort is replicated; the 30-200-row
+    payloads move through `parallel.dsort.route_local` — one capped
+    all_to_all each way per layer (see dsort.py; cap =
+    ceil(cap_factor·n/P²), honest failure = the replicated
+    `permute_overflows` flag, raised here as a poisoned output via NaN so
+    it can never be silently wrong).
     """
     n_shards = mesh.shape[axis]
+    assert transport in ("replicated", "distributed"), transport
 
     def spmd(x_cols, coords_cols, wq, wk, wv, sqrt_w, alpha, codes, invalid):
         h, d_model, d = wq.shape
@@ -96,18 +109,33 @@ def make_bucket_sharded_attention(
         if invalid is not None:
             big = jnp.asarray(3.0e38, jnp.float32)
             k_key = jnp.where(invalid[None, :], big, k_key)
-        (sxk,), (q_src,) = grouped_sort_carry(
-            [k_key[:, None]], [xc], pack=False, n_ops=sort_ops
-        )  # sxk (c, 1, d_xc, n); q_src (c, 1, n) — 2-D payload broadcasts
-        # over (hashes, heads=1) and its VJP sums the broadcast axes back
 
-        # --- sharded: each chip projects + attends its contiguous slab of
-        # whole buckets (zero communication) ---
         idx = jax.lax.axis_index(axis)
         ne_loc = n // n_shards
-        slab = jax.lax.dynamic_slice_in_dim(
-            sxk, idx * ne_loc, ne_loc, axis=-1
-        )  # (c, 1, d_xc, ne_loc)
+        if transport == "distributed":
+            # comparator-only replicated sort (1 key row); the payload
+            # moves via a capped all_to_all (parallel/dsort.py)
+            cap = max(1, -(-int(cap_factor * n) // (n_shards * n_shards)))
+            perm = sort_perm(k_key)  # (c, n) replicated
+            xc_loc = jax.lax.dynamic_slice_in_dim(
+                jnp.broadcast_to(xc[None], (c,) + xc.shape),
+                idx * ne_loc, ne_loc, axis=-1,
+            )  # (c, d_xc, ne_loc) my INPUT-order slab
+            sxk_loc = route_local(
+                perm, xc_loc, axis=axis, n_shards=n_shards, cap=cap
+            )  # (c, d_xc, ne_loc) my SORTED-order slab
+            slab = sxk_loc[:, None]  # (c, 1, d_xc, ne_loc)
+        else:
+            (sxk,), (q_src,) = grouped_sort_carry(
+                [k_key[:, None]], [xc], pack=False, n_ops=sort_ops
+            )  # sxk (c, 1, d_xc, n); q_src (c, 1, n) — 2-D payload
+            # broadcasts over (hashes, heads=1); its VJP sums them back
+
+            # --- sharded: each chip projects + attends its contiguous slab
+            # of whole buckets (zero communication) ---
+            slab = jax.lax.dynamic_slice_in_dim(
+                sxk, idx * ne_loc, ne_loc, axis=-1
+            )  # (c, 1, d_xc, ne_loc)
         sxs = slab[:, :, :d_model]  # (c, 1, d_model, ne_loc)
         scs = slab[:, :, d_model:]  # (c, 1, cd, ne_loc)
         rpe_sh = (
@@ -128,6 +156,30 @@ def make_bucket_sharded_attention(
         ).reshape(c * h, dv, ne_loc)
         denom, so = bucket_rbf_attention_cols_xla(sq, sk, sv, block_size)
         od_loc = jnp.concatenate([so, denom], axis=1)  # (c·h, dv+1, ne_loc)
+
+        if transport == "distributed":
+            # unsort = route the local [num|den] slab back to input order
+            # through the inverse permutation; OR-combine locally; ONE psum
+            # of disjoint padded slabs replicates the final (h, dv, n)
+            odu_loc = route_local(
+                invert_perm(perm),
+                od_loc.reshape(c, h * (dv + 1), ne_loc),
+                axis=axis, n_shards=n_shards, cap=cap,
+            ).reshape(c, h, dv + 1, ne_loc)
+            o_sum = odu_loc[:, :, :dv].sum(axis=0)  # (h, dv, ne_loc)
+            l_sum = odu_loc[:, :, dv:].sum(axis=0)
+            out_loc = stable_ratio(o_sum[None], l_sum[None])[0]
+            out = jax.lax.psum(
+                jax.lax.dynamic_update_slice_in_dim(
+                    jnp.zeros((h, dv, n), out_loc.dtype),
+                    out_loc, idx * ne_loc, axis=2,
+                ),
+                axis,
+            )
+            # honest failure: a cell overflow would silently mis-route —
+            # poison the output instead (training NaN guards trip on it)
+            bad = permute_overflows(perm, n_shards, cap)
+            return jnp.where(bad, jnp.nan, out)
 
         # --- collective: reassemble the sorted axis. The scatter-add form
         # (SURVEY §5: "one scatter-add (unsort) per layer"): each chip pads

@@ -118,3 +118,64 @@ def test_bucket_sharded_grads_match_single_device(mesh):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-5 * scale
         )
+
+
+def test_bucket_sharded_distributed_transport_forward(mesh):
+    """transport="distributed": only the comparator sort is replicated; the
+    payload rides capped all_to_alls (parallel/dsort.py). Must equal the
+    single-device core like the replicated transport does."""
+    args = _inputs(seed=31)
+    want = _reference(args)
+    fn = make_bucket_sharded_attention(
+        mesh, "buckets", block_size=BLOCK, transport="distributed",
+        cap_factor=4.0,
+    )
+    got = jax.jit(lambda *a: fn(*a, None))(*args)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6
+    )
+
+
+def test_bucket_sharded_distributed_overflow_poisons(mesh):
+    """A cell-cap overflow must POISON the output (NaN), never silently
+    mis-route: cap_factor≈0 forces cap=1 and certain overflow."""
+    args = _inputs(seed=31)
+    fn = make_bucket_sharded_attention(
+        mesh, "buckets", block_size=BLOCK, transport="distributed",
+        cap_factor=1e-6,
+    )
+    got = jax.jit(lambda *a: fn(*a, None))(*args)
+    assert np.isnan(np.asarray(got)).all()
+
+
+def test_bucket_sharded_distributed_grads(mesh):
+    args = _inputs(seed=23)
+    fn = make_bucket_sharded_attention(
+        mesh, "buckets", block_size=BLOCK, transport="distributed",
+        cap_factor=4.0,
+    )
+    w = jnp.asarray(
+        np.random.default_rng(5).normal(
+            size=(args[2].shape[0], args[2].shape[2], args[0].shape[-1])
+        ).astype(np.float32)
+    )
+
+    def loss_sharded(x, coords, wq, wk, wv, sw):
+        return (w * fn(x, coords, wq, wk, wv, sw, *args[6:8], None)).sum()
+
+    def loss_ref(x, coords, wq, wk, wv, sw):
+        o = hept_attention_core_xcols(
+            x, coords, wq, wk, wv, sw, *args[6:8], None, None,
+            block_size=BLOCK, impl="xla", sort_pack=False,
+            shared_sort=True, share_heads=True,
+        )
+        return (w * o).sum()
+
+    diff_args = args[:6]
+    g_sh = jax.jit(jax.grad(loss_sharded, argnums=tuple(range(6))))(*diff_args)
+    g_rf = jax.jit(jax.grad(loss_ref, argnums=tuple(range(6))))(*diff_args)
+    for a, b in zip(g_sh, g_rf):
+        scale = max(1e-3, float(np.abs(np.asarray(b)).max()))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-5 * scale
+        )
