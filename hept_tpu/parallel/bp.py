@@ -8,12 +8,13 @@ layer" — the HEPT-shaped analogue of ring attention). head-TP and hash-TP
 shrink to 2-8 under the fast stack; sharding the bucket grid itself has no
 such cap — P chips each own nb/P whole buckets of every round.
 
-Decomposition per layer (this prototype):
+Decomposition per layer (transport="replicated", the v1 prototype):
   replicated  — E2LSH keys + the global bucket sort (`grouped_sort_carry`):
-                every chip computes the same sorted [x|coords] copy. This is
-                the Amdahl term (~1/3 of a layer on v5e, BASELINE.md); a
-                distributed multi-chip sort would remove it (future work —
-                requires a sharded merge network over ICI).
+                every chip computes the same sorted [x|coords] copy. This
+                was the Amdahl term (~1/3 of a layer on v5e, BASELINE.md);
+                transport="distributed" (round 4) removes it: only the
+                1-row key COMPARATOR sort stays replicated and the payload
+                moves through capped all_to_alls (parallel/dsort.py).
   sharded     — the per-head projections + RPE fold + the per-bucket RBF
                 kernel (the MXU-hot ~2/3): each chip slices its contiguous
                 ne/P slab of the sorted axis (whole buckets, so tiles never
