@@ -1,0 +1,107 @@
+"""Bisect the B=2 stacked-forward superlinearity by component knockout.
+
+probe_b2_stacked: fwd B=1 34.4 ms (320 GB/s achieved) vs B=2 102.7 ms
+(238 GB/s) — +49%/point at +11%/point compiled bytes, while every isolated
+primitive is sub-linear per point (probe_b2_prims). This times the REAL
+model forward at B in {1, 2} under component knockouts, so the wall is
+attributable even if the xplane profiler can't capture device planes
+through the axon tunnel (probe_xprof is the finer-grained tool).
+
+Arms (all nh2r8cv2r base, flat batched, sort_events=B):
+  full        — the bench configuration
+  xla         — attn_impl=xla (no Pallas kernels; kernel vs transport)
+  nounsortrows— unsort_rows=False (sort-based unsort)
+  nopack      — sort_pack=False (f32 transport; u32-pack interaction)
+  l1          — n_layers=1 (attention stack vs encoder/prepare)
+  enc         — n_layers=0-equivalent not supported; prepare-only proxy =
+                hash+sort plan only (via probe of _prepare + first sort)
+
+Run on TPU: python scripts/probe_b2_bisect.py [iters]
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from train_60k_demo import VARIANTS
+
+from hept_tpu.data.batching import pack_events
+from hept_tpu.data.synthetic import synthetic_tracking_event
+from hept_tpu.models import (HeptTransformer, TransformerConfig,
+                             make_flat_batched_apply)
+
+ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+
+rng = np.random.default_rng(0)
+events = [synthetic_tracking_event(rng, n_points=60_000, avg_track_size=8,
+                                   pairs_per_point=16) for _ in range(2)]
+
+vk = dict(VARIANTS["nh2r8cv2r"])
+impl = vk.pop("_attn_impl", "hybrid")
+base = dict(
+    in_dim=events[0].x.shape[1], coords_dim=events[0].coords.shape[1],
+    task="tracking",
+    **{
+        **dict(block_size=100, n_hashes=3, num_regions=150, num_heads=8,
+               h_dim=24, n_layers=4, num_w_per_dist=10, sort_pack=True,
+               sort_ops=8, qkv_post_sort=True, scan_layers=True,
+               unsort_pack=True, shared_sort=True, share_heads=True,
+               kernel_bf16=True, padding_mode="replicate", attn_impl=impl),
+        **vk,
+    },
+)
+
+ARMS = {
+    "full": {},
+    "xla": {"attn_impl": "xla"},
+    "nounsortrows": {"unsort_rows": False},
+    "nopack": {"sort_pack": False, "unsort_pack": False},
+    "l1": {"n_layers": 1},
+}
+
+batches = {}
+for B in (1, 2):
+    bt = pack_events(events[:B], block_size=100, window_pairs=128)
+    batches[B] = tuple(jnp.asarray(bt[k]) for k in ("x", "coords", "valid"))
+
+
+def time_arm(name, overrides):
+    res = {}
+    for B in (1, 2):
+        cfg = TransformerConfig(**{**base, **overrides, "sort_events": B})
+        model = HeptTransformer(cfg)
+        flat = make_flat_batched_apply(model)
+        x, coords, valid = batches[B]
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), x[0], coords[0], valid[0])
+        jax.block_until_ready(variables)
+        fwd = jax.jit(lambda v, x, c, vl: flat(v, x, c, vl).sum())
+        t0 = time.perf_counter()
+        float(fwd(variables, x, coords, valid))
+        compile_s = time.perf_counter() - t0
+        for _ in range(2):
+            float(fwd(variables, x, coords, valid))
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            r = fwd(variables, x, coords, valid)
+        float(r)
+        res[B] = (time.perf_counter() - t0) / ITERS * 1e3
+        print(f"  [{name}] B={B}: {res[B]:8.2f} ms (compile {compile_s:.0f}s)",
+              flush=True)
+    print(f"  [{name}] per-point ratio B2/(2*B1) = {res[2]/(2*res[1]):.3f}",
+          flush=True)
+    return res
+
+
+print(f"backend={jax.default_backend()} iters={ITERS}", flush=True)
+for name, ov in ARMS.items():
+    time_arm(name, ov)
