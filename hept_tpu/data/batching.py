@@ -209,6 +209,7 @@ def _process_event_pairs(
     aug_rng: np.random.Generator | None,
     window: int,
     cache: bool,
+    e_max: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray | None, np.ndarray | None, bool]:
     """One event's supervision pairs → (windowed pairs, mask, rev, has_cluster).
 
@@ -223,6 +224,12 @@ def _process_event_pairs(
     fp summation order) differs from the uncached interleaved layout. The
     rng consumption is identical to the uncached path. Costs ~20 MB per 60k
     event; a full re-pack was ~0.7 s/event/epoch on the 1-vCPU host.
+
+    The block layout is slightly LONGER than the interleaved one (the aug
+    block pads its own windows); when `e_max` is given and only the cached
+    layout would overflow it, this falls back to the full re-pack for the
+    event — the cache must never cause pair truncation that the uncached
+    path avoided (it silently disables the windowed-loss extras).
     """
     pairs = ev.pairs
     ni = ev.n
@@ -237,10 +244,15 @@ def _process_event_pairs(
         n_aug = int(pairs.shape[1] * aug_pair_p / 2)
         if n_aug:
             rnd = aug_rng.integers(0, ni, (2, n_aug))
+
+    def _append_aug(p):
+        if rnd is None:
+            return p
+        both = np.concatenate([rnd, rnd[::-1]], axis=1)
+        return np.concatenate([p, both.astype(p.dtype)], axis=1)
+
     if not (window and has_cluster):
-        if rnd is not None:
-            both = np.concatenate([rnd, rnd[::-1]], axis=1)
-            pairs = np.concatenate([pairs, both.astype(pairs.dtype)], axis=1)
+        pairs = _append_aug(pairs)
         # anchor-sorted pairs: the loss's per-anchor segment sums become
         # sorted-segment reductions and the anchor gathers become
         # near-contiguous (the InfoNCE hot-path lever). Order is
@@ -252,11 +264,8 @@ def _process_event_pairs(
             pairs, pmask = window_pad_pairs(pairs, window)
         return pairs, pmask, None, has_cluster
     if not cache:
-        if rnd is not None:
-            both = np.concatenate([rnd, rnd[::-1]], axis=1)
-            pairs = np.concatenate([pairs, both.astype(pairs.dtype)], axis=1)
         # returns canonical (anchor, partner) order == anchor-sorted
-        pairs = _symmetrize_pairs(pairs, ni)
+        pairs = _symmetrize_pairs(_append_aug(pairs), ni)
         pairs, pmask = window_pad_pairs(pairs, window)
         return pairs, pmask, _pair_rev_index(pairs, pmask, ni), True
     store = getattr(ev, "_pair_pack_cache", None)
@@ -287,8 +296,16 @@ def _process_event_pairs(
     np.floor_divide(akey, ni, out=apairs[0], casting="unsafe")
     np.remainder(akey, ni, out=apairs[1], casting="unsafe")
     apairs_w, amask = window_pad_pairs(apairs, window)
-    arev = _pair_rev_index(apairs_w, amask, ni)
     off = bpairs.shape[1]
+    if e_max is not None and off + apairs_w.shape[1] > e_max:
+        # the separate aug block would overflow the static E where the
+        # interleaved layout might still fit — re-pack fully rather than
+        # truncate (truncation drops real pairs and kills the windowed
+        # extras for the whole batch)
+        pairs = _symmetrize_pairs(_append_aug(ev.pairs), ni)
+        pairs, pmask = window_pad_pairs(pairs, window)
+        return pairs, pmask, _pair_rev_index(pairs, pmask, ni), True
+    arev = _pair_rev_index(apairs_w, amask, ni)
     return (
         np.concatenate([bpairs, apairs_w], axis=1),
         np.concatenate([bmask, amask]),
@@ -335,7 +352,8 @@ def pack_events(
         # the whole-128-window invariant the Pallas pair kernels require,
         # and made the loss fall back to XLA element scatter.
         processed = [
-            _process_event_pairs(ev, aug_pair_p, aug_rng, window_pairs, cache)
+            _process_event_pairs(ev, aug_pair_p, aug_rng, window_pairs, cache,
+                                 e_max=e_max)
             for ev in events
         ]
         e_req = max(p.shape[1] for p, _, _, _ in processed)

@@ -596,22 +596,32 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
             # eval program (ROADMAP round 4 "RE-DIAGNOSED") that the
             # same-shapes re-eval above cannot see.
             if getattr(cfg, "eval_shape_check", False) and key in final:
-                alt = evaluate(
-                    cfg, model_apply, restored.variables, dataset, "test",
-                    block_size, n_max + block_size,
-                    (e_max + 128) if e_max else e_max,
-                )
-                tol = getattr(cfg, "eval_shape_check_tol", 0.02)
-                if key in alt and abs(alt[key] - final[key]) > tol:
-                    log(
-                        f"WARNING: shape cross-check failed — test {key}="
-                        f"{final[key]:.4f} at (n_max={n_max}, e_max={e_max})"
-                        f" vs {alt[key]:.4f} at perturbed shapes; one of the"
-                        " compiled eval programs is wrong"
+                try:
+                    alt = evaluate(
+                        cfg, model_apply, restored.variables, dataset, "test",
+                        block_size, n_max + block_size,
+                        (e_max + 128) if e_max else e_max,
                     )
-                else:
-                    log(f"shape cross-check ok ({key}: {final[key]:.4f} vs "
-                        f"{alt.get(key, float('nan')):.4f})")
+                    tol = getattr(cfg, "eval_shape_check_tol", 0.02)
+                    a = alt.get(key, float("nan"))
+                    # NaN/missing must FAIL (abs(nan-x) > tol is False):
+                    # a non-finite perturbed-shape metric is exactly the
+                    # corruption class this check exists to catch
+                    ok = np.isfinite(a) and abs(a - final[key]) <= tol
+                    if ok:
+                        log(f"shape cross-check ok ({key}: "
+                            f"{final[key]:.4f} vs {a:.4f})")
+                    else:
+                        log(
+                            f"WARNING: shape cross-check failed — test "
+                            f"{key}={final[key]:.4f} at (n_max={n_max}, "
+                            f"e_max={e_max}) vs {a:.4f} at perturbed shapes;"
+                            " one of the compiled eval programs is wrong"
+                        )
+                except Exception as e:  # noqa: BLE001 — guard of a guard
+                    log(f"WARNING: shape cross-check itself failed to run "
+                        f"({type(e).__name__}: {e}) — shape sensitivity "
+                        "unverified for this run")
         except Exception as e:  # noqa: BLE001 — the guard must never kill a run
             log(f"final re-eval skipped ({type(e).__name__}: {e})")
     logger.close()

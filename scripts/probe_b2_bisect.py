@@ -12,9 +12,9 @@ Arms (all nh2r8cv2r base, flat batched, sort_events=B):
   xla         — attn_impl=xla (no Pallas kernels; kernel vs transport)
   nounsortrows— unsort_rows=False (sort-based unsort)
   nopack      — sort_pack=False (f32 transport; u32-pack interaction)
-  l1          — n_layers=1 (attention stack vs encoder/prepare)
-  enc         — n_layers=0-equivalent not supported; prepare-only proxy =
-                hash+sort plan only (via probe of _prepare + first sort)
+  l1          — n_layers=1 (attention stack vs encoder/prepare: the l1
+                ratio isolates the per-layer scaling from the fixed
+                encoder/prepare cost by differencing against full)
 
 Run on TPU: python scripts/probe_b2_bisect.py [iters]
 """

@@ -115,3 +115,32 @@ def test_cached_aug_loss_matches_uncached(event):
             pair_neg=jnp.asarray(b["pair_neg"][0]),
         )))
     assert vals[0] == pytest.approx(vals[1], rel=1e-5)
+
+
+def test_cached_falls_back_when_block_layout_overflows_e_max():
+    """Sparse pair density: the separate aug block can overflow an e_max
+    that the interleaved layout fits (review finding r4). The cached path
+    must re-pack fully for that event instead of truncating (truncation
+    silently drops real pairs and kills pair_rev/weight/neg for the whole
+    batch)."""
+    rng = np.random.default_rng(2)
+    ev = synthetic_tracking_event(rng, n_points=4000, avg_track_size=6,
+                                  pairs_per_point=1)
+    # size e_max the way the trainer does: interleaved processed length
+    # plus the raw-count aug headroom
+    from hept_tpu.data.batching import processed_pair_len
+
+    base_len = processed_pair_len(ev.pairs, ev.n, 128)
+    e0 = base_len + 2 * int(base_len * 0.2 / 2)
+    e_max = ((e0 + max(256, e0 // 16)) + 127) // 128 * 128
+    r1, r2 = np.random.default_rng(9), np.random.default_rng(9)
+    a = pack_events([ev], 10, e_max=e_max, aug_pair_p=0.2, aug_rng=r1,
+                    window_pairs=128)
+    c = pack_events([ev], 10, e_max=e_max, aug_pair_p=0.2, aug_rng=r2,
+                    window_pairs=128, cache=True)
+    # uncached fits -> cached must also keep the windowed extras
+    assert "pair_rev" in a
+    assert "pair_rev" in c
+    sa = _real_sets(a)
+    sc = _real_sets(c)
+    np.testing.assert_array_equal(sa["keys"], sc["keys"])

@@ -196,3 +196,41 @@ def test_tracking_e2e_head_sharded(tmp_path):
     res = run_one_seed(cfg, dataset=ds)
     assert np.isfinite(res["loss"])
     assert 0.0 <= res["accuracy@0.9"] <= 1.0
+
+
+def test_eval_shape_check_fails_on_nan_perturbed_metric(tmp_path, capsys,
+                                                        monkeypatch):
+    """abs(nan - x) > tol is False — a NaN metric at the perturbed shapes
+    must FAIL the cross-check, not print 'ok' (review finding r4)."""
+    import hept_tpu.train.trainer as trainer_mod
+
+    ds = make_synthetic_tracking(n_events=8, n_points=128, seed=0)
+    real_eval = trainer_mod.evaluate
+
+    def fake_eval(cfg, model_apply, variables, dataset, split, block_size,
+                  n_max, e_max, **kw):
+        out = real_eval(cfg, model_apply, variables, dataset, split,
+                        block_size, n_max, e_max, **kw)
+        if kw.get("eval_step") is None and split == "test":
+            # the perturbed-shape re-eval is the only test eval issued
+            # without the prebuilt eval_step — poison it
+            return {k: float("nan") for k in out}
+        return out
+
+    monkeypatch.setattr(trainer_mod, "evaluate", fake_eval)
+    cfg = ExperimentConfig(
+        task="tracking",
+        model_kwargs=TINY_MODEL,
+        optimizer_kwargs={"lr": 1e-3},
+        num_epochs=1,
+        batch_size=2,
+        main_metric="accuracy@0.9",
+        mode="max",
+        log_dir=str(tmp_path),
+        attn_impl="xla",
+        eval_shape_check=True,
+    )
+    run_one_seed(cfg, dataset=ds)
+    out = capsys.readouterr().out
+    assert "shape cross-check failed" in out
+    assert "shape cross-check ok" not in out
