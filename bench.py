@@ -15,9 +15,12 @@ Round 4 reports TWO arms (the north star is throughput AT parity recall, so
 the headline is the accuracy-first arm; VERDICT r3 next #1):
   headline  hept_acc (r12bs128cv2r): 12-round static union x OR3, bs128
             slab2 kernels, center, row unsort — 60k acc@0.9 0.9502 @
-            138.8 ms (BASELINE.md round-4 matrix; 3-seed campaign in
-            runs/r4/). Reported as metric/value/vs_baseline, best over
-            event-batch sizes {1, 2} (stacked flat batching for B > 1).
+            138.8 ms at 25 epochs, **0.9616 with the 50-epoch recipe**
+            (same step cost) and **0.9793 on the 50-event dataset**
+            (BASELINE.md round-4 matrix + dataset-scale section; seed
+            campaigns in runs/r4/). Reported as metric/value/vs_baseline,
+            best over event-batch sizes {1, 2} (stacked flat batching for
+            B > 1).
   fast      nh2r8cv2r (the round-3 headline, 0.9341 @ 95.6 ms) — reported
             as step_ms_fast / pts_per_s_fast so the speed point stays
             visible round over round.
