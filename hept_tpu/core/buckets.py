@@ -470,6 +470,13 @@ def _u32_to_rows(u32: Array, w: int, pack: bool) -> Array:
     return jax.lax.bitcast_convert_type(u32, jnp.float32)
 
 
+# Opt-in Pallas DMA backend for the flat row gather (ops/gather_pallas.py):
+# set HEPT_ROW_GATHER=pallas to route rows of <=128 packed u32 words through
+# the per-row pipelined DMA kernel instead of the XLA gather. Off by default
+# until the queue35 hardware probe proves it faster than XLA's ~13 ns/row.
+_ROW_GATHER_BACKEND = _os.environ.get("HEPT_ROW_GATHER", "xla")
+
+
 def _permute_gather_rows_impl(rows, idx, pack):
     """rows (S, ne, W); idx (R, ne) with R a multiple of S ->
     out[r, p, :] = rows[r % S, idx[r, p], :] as ONE flat row gather
@@ -483,6 +490,11 @@ def _permute_gather_rows_impl(rows, idx, pack):
     u32, w = _rows_to_u32(rows, pack)
     S, ne, wp = u32.shape
     R = idx.shape[0]
+    if _ROW_GATHER_BACKEND == "pallas" and wp <= 128:
+        from ..ops.gather_pallas import row_gather_dma
+
+        out = row_gather_dma(u32, idx)[..., :wp]
+        return _u32_to_rows(out, w, pack)
     flat = u32.reshape(S * ne, wp)
     offs = ((jnp.arange(R, dtype=idx.dtype) % S) * ne)[:, None]
     out = flat[(idx + offs).reshape(-1)].reshape(R, ne, wp)

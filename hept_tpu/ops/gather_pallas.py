@@ -177,19 +177,27 @@ def _dma_kernel(idx_ref, src_ref, out_ref, sem, *, t_tile: int, s_rounds: int):
     lax.fori_loop(0, min(_DMA_WINDOW, t_tile), drain, 0)
 
 
+def _auto_interpret() -> bool:
+    # Interpret everywhere but a real TPU backend (the axon tunnel
+    # registers as its own platform name), so CPU tests/meshes just work.
+    return jax.default_backend() not in ("tpu", "axon")
+
+
 @functools.partial(jax.jit, static_argnames=("t_tile", "interpret"))
 def row_gather_dma(
     src: jax.Array,
     idx: jax.Array,
     *,
     t_tile: int = 1024,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """out[r, p, :] = src[r % S, idx[r, p], :] via per-row pipelined DMA.
 
     src: (S, n, w<=128) uint32 (stays in HBM); idx: (R, n) int32.
     Returns (R, n, 128) uint32.
     """
+    if interpret is None:
+        interpret = _auto_interpret()
     S, n, _ = src.shape
     R = idx.shape[0]
     src, idx, n_pad = _pad_inputs(src, idx, t_tile)

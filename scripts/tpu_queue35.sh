@@ -34,4 +34,9 @@ run() { # run <tag> <timeout_s> <cmd...>
   tail -n 8 "runs/r4/$tag.log" | grep -v "^WARNING" || true
 }
 run probe_gather_pallas 2400 python scripts/probe_gather_pallas.py
+# end-to-end acc-arm step with the DMA row-gather backend (vs the
+# committed 138.8 ms XLA number), only meaningful if the probe's C/D arms
+# beat A
+run time_r12bs128cv2r_dmagather 2400 \
+  env HEPT_ROW_GATHER=pallas python scripts/time_step_variant.py r12bs128cv2r
 echo "[$(date +%H:%M:%S)] queue35 done"
