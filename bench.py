@@ -15,8 +15,10 @@ Round 4 reports TWO arms (the north star is throughput AT parity recall, so
 the headline is the accuracy-first arm; VERDICT r3 next #1):
   headline  hept_acc (r12bs128cv2r): 12-round static union x OR3, bs128
             slab2 kernels, center, row unsort — 60k acc@0.9 0.9502 @
-            138.8 ms at 25 epochs, **0.9616 with the 50-epoch recipe**
-            (same step cost) and **0.9793 on the 50-event dataset**
+            138.8 ms at 25 epochs, **0.9575 ± 0.003 3-seed mean with the
+            50-epoch recipe** (0.9616/0.9558/0.9552; same step cost,
+            above the 0.9499 ± 0.008 parity-accuracy bar)
+            and **0.9793 on the 50-event dataset**
             (BASELINE.md round-4 matrix + dataset-scale section; seed
             campaigns in runs/r4/). Reported as metric/value/vs_baseline,
             best over event-batch sizes {1, 2} (stacked flat batching for
