@@ -66,12 +66,25 @@ ARMS = {
     "nounsortrows": {"unsort_rows": False},
     "nopack": {"sort_pack": False, "unsort_pack": False},
     "l1": {"n_layers": 1},
+    # HLO-diff hypothesis (runs/r4/hlo_b{1,2}.txt): at B=2 XLA stops fusing
+    # the f32->bf16 convert into the (G,B,B) logits producer — the hybrid
+    # XLA forward materializes 2x768 MB f32 (vs 2x192 MB bf16 at B=1),
+    # +2.4 GB/step. The Pallas loop forward never materializes p in HBM,
+    # so it should scale linearly where hybrid doesn't.
+    "pallasfwd": {"attn_impl": "loop2"},
+    # same hypothesis on the bs128 slab grid (the acc arm's kernel)
+    "slab128": {"attn_impl": "slab2", "block_size": 128},
 }
 
 batches = {}
-for B in (1, 2):
-    bt = pack_events(events[:B], block_size=100, window_pairs=128)
-    batches[B] = tuple(jnp.asarray(bt[k]) for k in ("x", "coords", "valid"))
+
+
+def get_batch(B, bs):
+    if (B, bs) not in batches:
+        bt = pack_events(events[:B], block_size=bs, window_pairs=128)
+        batches[(B, bs)] = tuple(
+            jnp.asarray(bt[k]) for k in ("x", "coords", "valid"))
+    return batches[(B, bs)]
 
 
 def time_arm(name, overrides):
@@ -80,7 +93,7 @@ def time_arm(name, overrides):
         cfg = TransformerConfig(**{**base, **overrides, "sort_events": B})
         model = HeptTransformer(cfg)
         flat = make_flat_batched_apply(model)
-        x, coords, valid = batches[B]
+        x, coords, valid = get_batch(B, cfg.block_size)
         variables = jax.jit(model.init)(
             jax.random.PRNGKey(0), x[0], coords[0], valid[0])
         jax.block_until_ready(variables)
