@@ -103,6 +103,16 @@ class ExperimentConfig:
     # compile per run; off by default.
     eval_shape_check: bool = False
     eval_shape_check_tol: float = 0.02
+    # Compile the eval forward and the loss+metric tail as SEPARATE jit
+    # programs (two device calls per batch) instead of one fused program.
+    # Mitigation knob for the round-4 r12cv2r corruption class: the
+    # wrong-result lives in the fused fwd+loss+metric XLA:TPU program at
+    # exact static shapes (ROADMAP "RE-DIAGNOSED"); splitting changes the
+    # compiled program boundaries at the cost of materializing the
+    # embeddings between calls (~6 MB/event). Metric-equivalent by
+    # construction; default off until the queue36 repro legs attribute
+    # the corruption to the fused body vs the forward alone.
+    eval_split_programs: bool = False
 
     def model_config(self, in_dim: int, coords_dim: int) -> TransformerConfig:
         kw = dict(self.model_kwargs)

@@ -182,11 +182,11 @@ def make_eval_step(cfg, model_apply, chunk: int = 1):
     one tunnel dispatch) per chunk, so eval wall time stays flat as the
     dataset grows (VERDICT r3 #9)."""
     loss_fn = make_loss_fn(cfg)
+    split_programs = bool(getattr(cfg, "eval_split_programs", False))
 
     if cfg.task == "tracking":
 
-        def body(variables, jb):
-            out = model_apply(variables, jb)
+        def tail(out, jb):
             loss = loss_fn(out, jb)
             tm = tracking_metrics_batch(
                 out, jb["cluster_ids"], jb["recons"], jb["pts"], jb["valid"]
@@ -195,9 +195,11 @@ def make_eval_step(cfg, model_apply, chunk: int = 1):
 
     else:
 
-        def body(variables, jb):
-            out = model_apply(variables, jb)
+        def tail(out, jb):
             return loss_fn(out, jb), out
+
+    def body(variables, jb):
+        return tail(model_apply(variables, jb), jb)
 
     steps: dict = {}
 
@@ -206,10 +208,32 @@ def make_eval_step(cfg, model_apply, chunk: int = 1):
         per-batch body (callers pass one unstacked batch). chunk > 1: a
         lax.map over a size-g stack — compiled once per distinct size (full
         chunks plus at most one remainder size per split; no padding, so
-        small splits never pay repeated-batch eval compute)."""
+        small splits never pay repeated-batch eval compute).
+        eval_split_programs: the forward and the loss+metric tail compile
+        as two separate programs (corruption-class mitigation; see
+        config.py)."""
         if g not in steps:
             if chunk == 1:
-                steps[g] = jax.jit(body)
+                if split_programs:
+                    f_fwd = jax.jit(model_apply)
+                    f_tail = jax.jit(tail)
+                    steps[g] = lambda variables, jb: f_tail(
+                        f_fwd(variables, jb), jb)
+                else:
+                    steps[g] = jax.jit(body)
+            elif split_programs:
+                f_fwd = jax.jit(
+                    lambda variables, stacked: jax.lax.map(
+                        lambda jb: model_apply(variables, jb), stacked
+                    )
+                )
+                f_tail = jax.jit(
+                    lambda outs, stacked: jax.lax.map(
+                        lambda p: tail(p[0], p[1]), (outs, stacked)
+                    )
+                )
+                steps[g] = lambda variables, stacked: f_tail(
+                    f_fwd(variables, stacked), stacked)
             else:
                 steps[g] = jax.jit(
                     lambda variables, stacked: jax.lax.map(

@@ -104,6 +104,50 @@ def test_eval_chunking_metric_equivalence(tmp_path):
                                    err_msg=k)
 
 
+def test_eval_split_programs_metric_equivalence(tmp_path):
+    """eval_split_programs (separate fwd / loss+metric jits — the fused-
+    program corruption-class mitigation, config.py) must produce the SAME
+    metrics as the fused eval, for both per-batch and chunked eval."""
+    import jax
+    import jax.numpy as jnp
+
+    from hept_tpu.data.batching import pack_events
+    from hept_tpu.train.trainer import (
+        build_model, evaluate, make_model_apply,
+    )
+
+    ds = make_synthetic_tracking(n_events=7, n_points=96, seed=5)
+    res = {}
+    for split_programs in (False, True):
+        for chunk in (1, 3):
+            cfg = ExperimentConfig(
+                task="tracking",
+                model_kwargs=TINY_MODEL,
+                batch_size=1,
+                main_metric="accuracy@0.9",
+                log_dir=str(tmp_path),
+                attn_impl="xla",
+                eval_chunk=chunk,
+                eval_split_programs=split_programs,
+            )
+            model, model_cfg = build_model(cfg, ds.in_dim, ds.coords_dim)
+            model_apply = make_model_apply(model, model_cfg)
+            ev0 = ds.train[0]
+            b0 = pack_events([ev0], 16, n_max=96, e_max=4096)
+            variables = model.init(
+                jax.random.PRNGKey(0), jnp.asarray(b0["x"][0]),
+                jnp.asarray(b0["coords"][0]), jnp.asarray(b0["valid"][0]),
+            )
+            ds._eval_batch_cache = {}
+            res[(split_programs, chunk)] = evaluate(
+                cfg, model_apply, variables, ds, "train", 16, 96, 4096)
+    base = res[(False, 1)]
+    for key, r in res.items():
+        for k in base:
+            np.testing.assert_allclose(r[k], base[k], rtol=1e-6,
+                                       err_msg=f"{key} {k}")
+
+
 def test_pileup_e2e(tmp_path):
     ds = make_synthetic_pileup(n_events=8, n_points=128, seed=0)
     cfg = ExperimentConfig(
