@@ -94,7 +94,12 @@ def time_arm(name, overrides):
         model = HeptTransformer(cfg)
         flat = make_flat_batched_apply(model)
         x, coords, valid = get_batch(B, cfg.block_size)
-        variables = jax.jit(model.init)(
+        # init on a sort_events=1 twin: param shapes are layout-independent,
+        # and a single-event apply under sort_events=B would split the event
+        # into B rows (ne = n/B, not a block multiple -> trace error).
+        init_model = HeptTransformer(
+            TransformerConfig(**{**base, **overrides, "sort_events": 1}))
+        variables = jax.jit(init_model.init)(
             jax.random.PRNGKey(0), x[0], coords[0], valid[0])
         jax.block_until_ready(variables)
         fwd = jax.jit(lambda v, x, c, vl: flat(v, x, c, vl).sum())
@@ -116,5 +121,8 @@ def time_arm(name, overrides):
 
 
 print(f"backend={jax.default_backend()} iters={ITERS}", flush=True)
+_only = __import__("os").environ.get("B2_ARMS", "")
 for name, ov in ARMS.items():
+    if _only and name not in _only.split(","):
+        continue
     time_arm(name, ov)
