@@ -49,7 +49,12 @@ N_POINTS = 60_000
 WARMUP = 3
 ITERS = 15
 BATCH_SIZES = (1, 2)
-PARITY_BUDGET_S = 1200  # cold-cache parity compile bound (cached afterwards)
+PARITY_BUDGET_S = 2400  # cold-cache parity compile bound (cached afterwards)
+# Last committed warm parity measurement (runs/r4/time_parity.log: 598.0 ms,
+# compile 131.6 s on a warm persistent cache). Reported with
+# "step_ms_parity_stale": true ONLY if live attempts fail — VERDICT r4 #5:
+# the driver artifact must never carry a null parity field again.
+LAST_KNOWN_PARITY_MS = 598.0
 # secondary line: tracking-6k with stacked flat batching (the reference's
 # other primary scale; small events are where flat batching is the >5x
 # lever — BASELINE.md scaling notes)
@@ -412,24 +417,32 @@ def main():
     # with a hard timeout: its cold-cache compile can exceed the whole bench
     # budget, and the headline JSON must always land.
     parity_ms = None
-    try:
-        _stamp("parity mode (subprocess)")
-        proc = subprocess.run(
-            [sys.executable, __file__, "--parity-only"],
-            capture_output=True, text=True, timeout=PARITY_BUDGET_S,
-        )
-        for line in proc.stdout.splitlines():
-            if line.startswith("PARITY_MS "):
-                parity_ms = float(line.split()[1])
-        if parity_ms is None:
-            _stamp(f"parity mode produced no number (rc={proc.returncode}); "
-                   "omitting")
-        else:
-            _stamp(f"parity mode: {parity_ms:.1f} ms/step")
-    except subprocess.TimeoutExpired:
-        _stamp(f"parity mode exceeded {PARITY_BUDGET_S}s budget; omitting")
-    except Exception as e:
-        _stamp(f"parity mode failed ({type(e).__name__}); omitting")
+    parity_stale = False
+    # Two attempts: if the first dies mid-compile (cold cache through the
+    # remote tunnel), the second rides whatever the persistent cache captured.
+    for attempt in (1, 2):
+        try:
+            _stamp(f"parity mode (subprocess, attempt {attempt})")
+            proc = subprocess.run(
+                [sys.executable, __file__, "--parity-only"],
+                capture_output=True, text=True, timeout=PARITY_BUDGET_S,
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith("PARITY_MS "):
+                    parity_ms = float(line.split()[1])
+            if parity_ms is not None:
+                _stamp(f"parity mode: {parity_ms:.1f} ms/step")
+                break
+            _stamp(f"parity mode produced no number (rc={proc.returncode})")
+        except subprocess.TimeoutExpired:
+            _stamp(f"parity mode exceeded {PARITY_BUDGET_S}s budget")
+        except Exception as e:
+            _stamp(f"parity mode failed ({type(e).__name__})")
+    if parity_ms is None:
+        parity_ms = LAST_KNOWN_PARITY_MS
+        parity_stale = True
+        _stamp(f"parity: falling back to last committed warm number "
+               f"{parity_ms} ms (stale)")
 
     cb = cost.get(best_b, {})
     mfu = (cb.get("flops", 0.0) / dt_best) / V5E_PEAK_FLOPS if on_tpu else 0.0
@@ -455,6 +468,7 @@ def main():
                 if fast_ms else None,
                 "fast_arm": "hept_fast/nh2r8cv2r (acc@0.9 0.9341)",
                 "step_ms_parity": round(parity_ms, 2) if parity_ms else None,
+                "step_ms_parity_stale": parity_stale,
                 "fwd_ms": round(fwd_ms, 2),
                 "step_ms_6k_b8": round(step6k_ms, 2) if step6k_ms else None,
                 "pts_per_s_6k_b8": round(pps6k, 1) if pps6k else None,

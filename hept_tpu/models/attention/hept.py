@@ -119,6 +119,16 @@ class HeptAttention(nn.Module):
     # as the sort-carry; no-op under a static plan. See
     # hept_attention_core_xcols.
     gather_sort: bool = False
+    # Bucket-axis intra-event sequence parallelism (parallel/bp.py, SURVEY
+    # §2.9 stretch SP): when set, this module runs inside an enclosing
+    # shard_map carrying this mesh axis and each layer's sorted bucket grid
+    # shards over it via `bucket_sharded_core` (requires share_heads, no
+    # static plan, f32 transport; set by make_bucket_train_step on the
+    # LOCAL config). None = single-chip semantics.
+    bucket_axis: str | None = None
+    bucket_shards: int = 1
+    bucket_transport: str = "replicated"  # "replicated" | "distributed"
+    bucket_cap_factor: float = 2.0
 
     @nn.compact
     def __call__(self, query, key, value, *, coords, codes, w_rpe_weight,
@@ -151,6 +161,30 @@ class HeptAttention(nn.Module):
                     self.make_rng("params"), alpha_heads, hash_dim, self.n_hashes
                 ),
             ).value
+            if self.bucket_axis is not None:
+                # bucket-axis SP: the sorted bucket grid shards over the
+                # enclosing shard_map's `bucket_axis`; collectives live
+                # inside bucket_sharded_core (psum/all_to_all by axis name).
+                from ...parallel.bp import bucket_sharded_core
+
+                assert self.share_heads, "bucket SP requires share_heads"
+                assert plan is None, "bucket SP has no static-plan path"
+                assert not self.sort_pack and not self.unsort_pack, (
+                    "bucket SP is f32-transport only (v1)"
+                )
+                assert self.sort_events == 1, "bucket SP shards ONE event"
+                out = bucket_sharded_core(
+                    query.T, coords.T, wq, wk, wv, sqrt_w, alpha, codes,
+                    invalid,
+                    axis=self.bucket_axis,
+                    n_shards=self.bucket_shards,
+                    block_size=self.block_size,
+                    sort_ops=self.sort_ops,
+                    transport=self.bucket_transport,
+                    cap_factor=self.bucket_cap_factor,
+                )  # (h, d, n) columns, replicated over the bucket axis
+                out = out.reshape(h * d, n).T
+                return TorchLinear(d, name="out_linear")(out)
             out = hept_attention_core_xcols(
                 query.T,  # (d_model, n) shared normed hidden
                 coords.T,

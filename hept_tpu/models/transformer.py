@@ -198,6 +198,14 @@ class TransformerConfig:
     # Intra-event hash parallelism: mesh axis the OR-hash rounds shard over
     # (set by the TP train step on the LOCAL config; parallel/tp.py).
     hash_axis: Optional[str] = None
+    # Bucket-axis intra-event sequence parallelism (parallel/bp.py): mesh
+    # axis each layer's sorted bucket grid shards over (set by
+    # make_bucket_train_step on the LOCAL config; requires share_heads +
+    # qkv_post_sort, no static plan, f32 transport). None = single-chip.
+    bucket_axis: Optional[str] = None
+    bucket_shards: int = 1
+    bucket_transport: str = "replicated"  # "replicated" | "distributed"
+    bucket_cap_factor: float = 2.0
 
 
 def _permute_rows(arr, src1, inv1, n_ev):
@@ -273,6 +281,10 @@ def _make_attention(cfg: TransformerConfig):
             unsort_pack=cfg.unsort_pack,
             head_axis=cfg.head_axis,
             hash_axis=cfg.hash_axis,
+            bucket_axis=cfg.bucket_axis,
+            bucket_shards=cfg.bucket_shards,
+            bucket_transport=cfg.bucket_transport,
+            bucket_cap_factor=cfg.bucket_cap_factor,
             post_sort=cfg.qkv_post_sort,
             shared_sort=cfg.shared_sort,
             share_heads=cfg.share_heads,

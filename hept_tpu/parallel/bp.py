@@ -46,22 +46,26 @@ from ..ops.bucket_attn import bucket_rbf_attention_cols_xla, stable_ratio
 from .dsort import invert_perm, permute_overflows, route_local, sort_perm
 
 
-def make_bucket_sharded_attention(
-    mesh: Mesh,
-    axis: str = "buckets",
+def bucket_sharded_core(
+    x_cols, coords_cols, wq, wk, wv, sqrt_w, alpha, codes, invalid,
     *,
+    axis: str,
+    n_shards: int,
     block_size: int,
     sort_ops: int = 8,
     transport: str = "replicated",
     cap_factor: float = 2.0,
 ):
-    """Build a bucket-sharded `share_heads`-style HEPT attention layer.
+    """Bucket-sharded `share_heads`-style HEPT attention core.
 
-    Returns fn(x_cols, coords_cols, wq, wk, wv, sqrt_w, alpha, codes,
-    invalid) -> (h, dv, n) matching `hept_attention_core_xcols` with
-    share_heads=True, f32 transport, XLA kernels; all inputs replicated
-    (P()), output replicated. n must be a multiple of
-    mesh.shape[axis] * block_size.
+    Callable from INSIDE any enclosing `shard_map` whose mesh carries
+    `axis` (it addresses the axis only by name: `lax.axis_index`, `psum`,
+    `all_to_all`) — this is what lets the full HeptTransformer run the
+    bucket-sharded attention per layer from a model-level shard_map
+    (`make_bucket_train_step`) as well as from the layer-level wrapper
+    (`make_bucket_sharded_attention`). Inputs are replicated over `axis`;
+    the output is replicated. Matches `hept_attention_core_xcols` with
+    share_heads=True, f32 transport, XLA kernels, exactly in f32.
 
     transport="replicated": every chip carries the full payload through the
     bucket sort and unsort (the v1 Amdahl term). transport="distributed":
@@ -70,9 +74,11 @@ def make_bucket_sharded_attention(
     all_to_all each way per layer (see dsort.py; cap =
     ceil(cap_factor·n/P²), honest failure = the replicated
     `permute_overflows` flag, raised here as a poisoned output via NaN so
-    it can never be silently wrong).
+    it can never be silently wrong). Note the comparator sort and the
+    projection weight math stay replicated on every chip in BOTH modes —
+    acceptable for v1: the MXU-hot per-bucket kernel and the projections'
+    activations are the sharded ~2/3 of a layer.
     """
-    n_shards = mesh.shape[axis]
     assert transport in ("replicated", "distributed"), transport
 
     def spmd(x_cols, coords_cols, wq, wk, wv, sqrt_w, alpha, codes, invalid):
@@ -212,6 +218,34 @@ def make_bucket_sharded_attention(
         out = stable_ratio(o_sum, l_sum)  # (1, h, dv, n)
         return out[0]  # (h, dv, n)
 
+    return spmd(x_cols, coords_cols, wq, wk, wv, sqrt_w, alpha, codes,
+                invalid)
+
+
+def make_bucket_sharded_attention(
+    mesh: Mesh,
+    axis: str = "buckets",
+    *,
+    block_size: int,
+    sort_ops: int = 8,
+    transport: str = "replicated",
+    cap_factor: float = 2.0,
+):
+    """Layer-level wrapper: shard_map `bucket_sharded_core` on `mesh`.
+
+    Returns fn(x_cols, coords_cols, wq, wk, wv, sqrt_w, alpha, codes,
+    invalid) -> (h, dv, n); all inputs replicated (P()), output replicated.
+    n must be a multiple of mesh.shape[axis] * block_size. See
+    `bucket_sharded_core` for the decomposition and transport modes.
+    """
+    n_shards = mesh.shape[axis]
+
+    def spmd(*args):
+        return bucket_sharded_core(
+            *args, axis=axis, n_shards=n_shards, block_size=block_size,
+            sort_ops=sort_ops, transport=transport, cap_factor=cap_factor,
+        )
+
     # NOTE: replication checking must stay ON — shard_map's transpose relies
     # on the replication types to place the psum/psum_scatter correctly; with
     # it off, the replicated-output cotangent is over-counted x n_shards
@@ -222,3 +256,110 @@ def make_bucket_sharded_attention(
         in_specs=(P(),) * 9,
         out_specs=P(),
     )
+
+
+def make_bucket_train_step(
+    model_factory,
+    model_cfg,
+    loss_fn,
+    tx,
+    mesh: Mesh,
+    *,
+    data_axis: str | None = "data",
+    bucket_axis: str = "buckets",
+    transport: str = "replicated",
+    cap_factor: float = 2.0,
+):
+    """Build a jitted DP × bucket-SP train step for the FULL model.
+
+    The whole train-step body (encoder → n_layers attention blocks → head →
+    InfoNCE/focal loss → grads) runs under ONE shard_map over a
+    ("data", "buckets") mesh: events shard over `data_axis`; inside each
+    data shard the per-layer HEPT attention shards its bucket grid over
+    `bucket_axis` via `bucket_sharded_core` (the model dispatches there when
+    cfg.bucket_axis is set). Encoder/FF/head/loss compute is replicated over
+    the bucket axis (it is O(n·d) pointwise work; the sharded part is the
+    MXU-hot attention ~2/3 of a layer). Gradients differentiate through the
+    shard_map, so the attention psums transpose correctly; the replicated-
+    parameter cotangents need no manual psum (VMA checking stays ON — see
+    make_bucket_sharded_attention's note).
+
+    Args mirror `parallel.tp.make_tp_train_step`: model_factory(local_cfg)
+    builds the model with cfg.bucket_axis/bucket_shards set; model_cfg must
+    be a share_heads + qkv_post_sort HEPT config with no static plan and
+    f32 transport (asserted by the attention module). The reference has no
+    distributed analogue (SURVEY §2.9); this is the >heads×hashes-chip
+    single-event scaling story.
+
+    Returns train_step(state, batch) -> (state, metrics); `batch` has a
+    leading event axis divisible by the data-axis size (replicated over the
+    bucket axis).
+    """
+    import dataclasses
+
+    import optax
+
+    from ..train.state import TrainState  # noqa: F401 (type of `state`)
+    from .dp import optax_global_norm
+
+    assert model_cfg.attn_type == "hept", "bucket SP targets HEPT"
+    n_shards = mesh.shape[bucket_axis]
+    local_cfg = dataclasses.replace(
+        model_cfg, bucket_axis=bucket_axis, bucket_shards=n_shards,
+        bucket_transport=transport, bucket_cap_factor=cap_factor,
+    )
+    local_model = model_factory(local_cfg)
+    have_dp = data_axis is not None and data_axis in mesh.shape
+
+    def local_loss(params, constants, batch, rng):
+        if have_dp:
+            # dropout varies per data shard, MUST match across bucket shards
+            # (the non-attention compute is replicated over the bucket axis)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
+
+        def one(xe, ce, ve, key):
+            return local_model.apply(
+                {"params": params, "constants": constants}, xe, ce, ve,
+                deterministic=False, rngs={"dropout": key},
+            )
+
+        keys = jax.random.split(rng, batch["x"].shape[0])
+        outputs = jax.vmap(one)(
+            batch["x"], batch["coords"], batch["valid"], keys
+        )
+        loss = loss_fn(outputs, batch)
+        if have_dp:
+            loss = jax.lax.pmean(loss, data_axis)
+        # replicated over the bucket axis already (the attention output is
+        # psum-reassembled); pmean makes that provable for out_specs=P()
+        return jax.lax.pmean(loss, bucket_axis)
+
+    def batch_specs(batch):
+        lead = data_axis if have_dp else None
+        return jax.tree_util.tree_map(
+            lambda x: P(lead, *([None] * (jnp.ndim(x) - 1))), batch
+        )
+
+    def step(state, batch):
+        rng, new_rng = jax.random.split(state.rng)
+
+        global_loss = jax.shard_map(
+            local_loss,
+            mesh=mesh,
+            in_specs=(P(), P(), batch_specs(batch), P()),
+            out_specs=P(),
+        )
+
+        def loss_of(params):
+            return global_loss(params, state.constants, batch, rng)
+
+        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state,
+            rng=new_rng,
+        )
+        return new_state, {"loss": loss, "grad_norm": optax_global_norm(grads)}
+
+    return jax.jit(step)

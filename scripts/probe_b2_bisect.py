@@ -17,12 +17,37 @@ Arms (all nh2r8cv2r base, flat batched, sort_events=B):
                 encoder/prepare cost by differencing against full)
 
 Run on TPU: python scripts/probe_b2_bisect.py [iters]
+
+Each arm runs in an isolated subprocess (--arm <name> recursion): Mosaic
+remote-compile failures SIGABRT the whole process (runs/r4/probe_b2_bisect.log),
+so in-process try/except cannot keep the sweep alive — subprocess isolation can.
+Select arms with B2_ARMS=a,b (unknown names are an error up front).
 """
+import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/scripts")
+
+ARM_NAMES = ["full", "xla", "nounsortrows", "nopack", "l1", "slab128",
+             "pallasfwd"]  # crash-prone Mosaic arms last
+
+if "--arm" not in sys.argv:
+    # Parent: one subprocess per arm so a crashing arm can't kill the sweep.
+    only = os.environ.get("B2_ARMS", "")
+    names = [n.strip() for n in only.split(",") if n.strip()] or ARM_NAMES
+    unknown = [n for n in names if n not in ARM_NAMES]
+    if unknown:
+        sys.exit(f"unknown B2_ARMS entries {unknown}; known: {ARM_NAMES}")
+    extra = [a for a in sys.argv[1:]]
+    for n in names:
+        rc = subprocess.call([sys.executable, __file__, *extra, "--arm", n])
+        if rc != 0:
+            print(f"  [{n}] FAILED rc={rc} (continuing to next arm)",
+                  flush=True)
+    sys.exit(0)
 
 import jax
 
@@ -39,7 +64,9 @@ from hept_tpu.data.synthetic import synthetic_tracking_event
 from hept_tpu.models import (HeptTransformer, TransformerConfig,
                              make_flat_batched_apply)
 
-ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+_args = [a for a in sys.argv[1:] if a != "--arm" and a not in ARM_NAMES]
+ARM = sys.argv[sys.argv.index("--arm") + 1]
+ITERS = int(_args[0]) if _args else 10
 
 rng = np.random.default_rng(0)
 events = [synthetic_tracking_event(rng, n_points=60_000, avg_track_size=8,
@@ -71,7 +98,9 @@ ARMS = {
     # XLA forward materializes 2x768 MB f32 (vs 2x192 MB bf16 at B=1),
     # +2.4 GB/step. The Pallas loop forward never materializes p in HBM,
     # so it should scale linearly where hybrid doesn't.
-    "pallasfwd": {"attn_impl": "loop2"},
+    # bs=128: the loop2 kernel cannot compile bs=100 (dynamic sublane index
+    # with a partial 100-lane vector.load, bucket_attn_pallas.py:540)
+    "pallasfwd": {"attn_impl": "loop2", "block_size": 128},
     # same hypothesis on the bs128 slab grid (the acc arm's kernel)
     "slab128": {"attn_impl": "slab2", "block_size": 128},
 }
@@ -120,9 +149,5 @@ def time_arm(name, overrides):
     return res
 
 
-print(f"backend={jax.default_backend()} iters={ITERS}", flush=True)
-_only = __import__("os").environ.get("B2_ARMS", "")
-for name, ov in ARMS.items():
-    if _only and name not in _only.split(","):
-        continue
-    time_arm(name, ov)
+print(f"backend={jax.default_backend()} iters={ITERS} arm={ARM}", flush=True)
+time_arm(ARM, ARMS[ARM])

@@ -179,3 +179,85 @@ def test_bucket_sharded_distributed_grads(mesh):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-5 * scale
         )
+
+
+class TestModelLevelBucketSP:
+    """VERDICT r4 #7: bucket-axis SP as a MODEL capability — the full
+    4-layer HeptTransformer + InfoNCE train step under a ("data",
+    "buckets") 2-D mesh must equal the single-device step."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device CPU mesh (conftest)")
+        from hept_tpu.data.batching import pack_events
+        from hept_tpu.data.synthetic import synthetic_tracking_event
+        from hept_tpu.models import HeptTransformer, TransformerConfig
+        from hept_tpu.parallel.dp import make_single_device_train_step
+        from hept_tpu.train.config import ExperimentConfig
+        from hept_tpu.train.optim import make_optimizer
+        from hept_tpu.train.state import TrainState
+        from hept_tpu.train.trainer import make_loss_fn, make_model_apply
+
+        rng = np.random.default_rng(0)
+        events = [
+            synthetic_tracking_event(rng, n_points=160) for _ in range(2)
+        ]
+        # n_max divides by bucket_shards (4) x block_size (16)
+        batch = pack_events(events, block_size=16, n_max=192, e_max=4096)
+        cfg = TransformerConfig(
+            in_dim=events[0].x.shape[1],
+            coords_dim=events[0].coords.shape[1],
+            task="tracking", h_dim=8, num_heads=2, n_layers=4,
+            block_size=16, n_hashes=2, num_regions=9, num_w_per_dist=3,
+            dropout=0.0, padding_mode="replicate", attn_impl="xla",
+            scan_layers=True, qkv_post_sort=True, shared_sort=True,
+            share_heads=True,
+        )
+        model = HeptTransformer(cfg)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(batch["x"][0]),
+            jnp.asarray(batch["coords"][0]),
+            jnp.asarray(batch["valid"][0]),
+        )
+        loss_fn = make_loss_fn(ExperimentConfig(task="tracking"))
+        tx = make_optimizer("adam", lr=1e-3)
+
+        def fresh_state():
+            return TrainState.create(variables, tx, jax.random.PRNGKey(1))
+
+        ref_step = make_single_device_train_step(
+            make_model_apply(model), loss_fn, tx
+        )
+        _, ref_metrics = ref_step(
+            fresh_state(), jax.tree_util.tree_map(jnp.asarray, batch)
+        )
+        return dict(
+            cfg=cfg, batch=batch, loss_fn=loss_fn, tx=tx,
+            fresh_state=fresh_state,
+            ref_loss=float(ref_metrics["loss"]),
+            ref_gnorm=float(ref_metrics["grad_norm"]),
+        )
+
+    @pytest.mark.parametrize("transport", ["replicated", "distributed"])
+    def test_full_model_train_step_matches_single_device(
+        self, setup, transport
+    ):
+        from hept_tpu.models import HeptTransformer
+        from hept_tpu.parallel.bp import make_bucket_train_step
+
+        mesh = make_mesh(8, ("data", "buckets"), (2, 4))
+        step = make_bucket_train_step(
+            HeptTransformer, setup["cfg"], setup["loss_fn"], setup["tx"],
+            mesh, transport=transport, cap_factor=4.0,
+        )
+        _, metrics = step(
+            setup["fresh_state"](),
+            jax.tree_util.tree_map(jnp.asarray, setup["batch"]),
+        )
+        loss = float(metrics["loss"])
+        gnorm = float(metrics["grad_norm"])
+        assert np.isfinite(loss)
+        np.testing.assert_allclose(loss, setup["ref_loss"], rtol=1e-5)
+        np.testing.assert_allclose(gnorm, setup["ref_gnorm"], rtol=1e-4)
