@@ -41,6 +41,20 @@ class Event:
         return self.x.shape[0]
 
 
+def slab_friendly_n(n: int, block_size: int, slab: int = 1024) -> int:
+    """Round n up to a bucket count divisible by slab/block_size, so the
+    flat-slab Pallas kernels (ops/bucket_attn_pallas.py _slab128_g) can run
+    full (slab, slab) MXU slabs at ANY 128-multiple block size — the kernel
+    cost depends on the slab size, not the bucket size, which is what makes
+    big buckets (bs 256-512) free recall (runs/r5 probe_bs). No-op when
+    block_size is not a multiple of 128 (per-bucket kernels don't care)."""
+    nb = -(-n // block_size)
+    if block_size % 128 == 0 and block_size <= slab:
+        g0 = slab // block_size
+        nb = -(-nb // g0) * g0
+    return nb * block_size
+
+
 def _ceil_to(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 

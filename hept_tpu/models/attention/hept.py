@@ -119,6 +119,10 @@ class HeptAttention(nn.Module):
     # as the sort-carry; no-op under a static plan. See
     # hept_attention_core_xcols.
     gather_sort: bool = False
+    # Transport groups: the static plan's permutations are GROUP-level (g
+    # points per gathered row; inputs/outputs ride in round-0 sorted order).
+    # See hept_attention_core_xcols / TransformerConfig.transport_groups.
+    plan_groups: int = 1
     # Bucket-axis intra-event sequence parallelism (parallel/bp.py, SURVEY
     # §2.9 stretch SP): when set, this module runs inside an enclosing
     # shard_map carrying this mesh axis and each layer's sorted bucket grid
@@ -204,6 +208,7 @@ class HeptAttention(nn.Module):
                 kernel_center=self.kernel_center,
                 unsort_rows=self.unsort_rows,
                 gather_sort=self.gather_sort,
+                plan_groups=self.plan_groups,
             )  # (h, d, n) columns, or (n, h·d) rows under unsort_rows
             if not self.unsort_rows:
                 out = out.reshape(h * d, n).T

@@ -162,6 +162,18 @@ class TransformerConfig:
     # layout change: same math, same rounding profile as the sort-carry
     # unsort under unsort_pack.
     unsort_rows: bool = False
+    # TRANSPORT GROUPS (requires static_keys + unsort_rows; excludes
+    # canon_residual): the model's storage order becomes round-0's full
+    # sorted order σ (one entry gather after the encoder, one exit gather
+    # after the head), and every round's x-gather / [num|denom]-unsort moves
+    # g points per gathered row via GROUP-level permutations (group = g
+    # consecutive points in σ; group key = min of member keys). The row
+    # gather is issue-rate-bound (~14 ns/row regardless of width), so this
+    # cuts the transport wall ~g× fwd+bwd. Convergence-gated divergence:
+    # bucket composition coarsens to σ-adjacent g-clusters
+    # (ops/bucket_attn.py static_bucket_plan group_size; recall probe:
+    # scripts/probe_cobucket.py). block_size must divide by g.
+    transport_groups: int = 1
     # EXACT dynamic-key fast path (ops/bucket_attn.py gather_sort): replace
     # the payload-carrying variadic sorts with 2-operand key argsorts plus
     # broadcast-source row gathers of [x|coords] — no payload ever rides a
@@ -295,6 +307,7 @@ def _make_attention(cfg: TransformerConfig):
             kernel_center=cfg.kernel_center,
             unsort_rows=cfg.unsort_rows,
             gather_sort=cfg.gather_sort,
+            plan_groups=cfg.transport_groups,
             **common,
         )
     if cfg.attn_type == "performer":
@@ -636,13 +649,31 @@ class HeptTransformer(nn.Module):
                 else:
                     rows = [t % nh for t in range(total_rounds)]
                 codes0 = codes0[jnp.asarray(rows)]
+            if cfg.transport_groups > 1:
+                assert not cfg.canon_residual, \
+                    "transport_groups subsumes canon (σ IS round-0 order)"
+                assert cfg.unsort_rows, "transport_groups requires unsort_rows"
+                assert cfg.block_size % cfg.transport_groups == 0
             plan = static_bucket_plan(
                 hashed, codes0, invalid, coords.T,
                 sort_events=cfg.sort_events, sort_pack=cfg.sort_pack,
                 sort_ops=cfg.sort_ops, canonical=cfg.canon_residual,
                 coords_f32=cfg.kernel_center,
+                group_size=cfg.transport_groups,
             )
-            src0, inv0 = plan[0][:1], plan[1][:1]  # global round 0
+            if cfg.transport_groups > 1:
+                # σ entry: the residual stream, pad mask — and everything
+                # row-local after — ride in round-0 sorted order; the plan
+                # permutations are group-level relative to σ. One gather
+                # back after the head (shared exit path with canon).
+                src0, inv0 = plan[3], plan[4]
+                plan = plan[:3]
+                h = _permute_rows(h, src0, inv0, cfg.sort_events)
+                invalid = jnp.take_along_axis(
+                    invalid.reshape(cfg.sort_events, -1), src0[0], axis=1
+                ).reshape(-1)
+            else:
+                src0, inv0 = plan[0][:1], plan[1][:1]  # global round 0
             if total_rounds != nh:
                 # per-layer n_hashes-round subsets of the big plan — the
                 # scan consumes the plan as a scanned input (axis 0), one
@@ -736,9 +767,9 @@ class HeptTransformer(nn.Module):
             out = TorchLinear(cfg.num_classes, name="out_proj")(out)
             out = nn.sigmoid(out)
 
-        if cfg.canon_residual and plan is not None:
-            # leave canonical order: orig[i] = canon[inv0[i]] (src0/inv0 are
-            # the GLOBAL round-0 maps captured before any sub-plan slicing)
+        if (cfg.canon_residual or cfg.transport_groups > 1) and plan is not None:
+            # leave canonical/σ order: orig[i] = canon[inv0[i]] (src0/inv0
+            # are the GLOBAL round-0 maps captured before sub-plan slicing)
             out = _permute_rows(out, inv0, src0, cfg.sort_events)
 
         # Real rows occupy their original slots in both padding modes

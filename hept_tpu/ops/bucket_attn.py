@@ -368,7 +368,8 @@ def static_hash(x0_cols: Array, coords_cols: Array, alpha: Array,
 
 
 @partial(jax.jit, static_argnames=("sort_events", "sort_pack", "sort_ops",
-                                   "canonical", "coords_f32"))
+                                   "canonical", "coords_f32", "group_size",
+                                   "group_sigma"))
 def static_bucket_plan(
     hashed: Array,
     codes0: Array,
@@ -380,6 +381,8 @@ def static_bucket_plan(
     sort_ops: int = 1,
     canonical: bool = False,
     coords_f32: bool = False,
+    group_size: int = 1,
+    group_sigma: str = "morton",
 ):
     """Build the once-per-step bucket plan for `static_keys`.
 
@@ -400,10 +403,28 @@ def static_bucket_plan(
         f[r] = inv₀∘src_r maps a round-r sorted slot to its canonical
         position (f[0] = identity) and finv[r] = inv_r∘src₀ is its inverse.
         Round 0 then needs no per-layer x-gather and no output unsort.
+      group_size: TRANSPORT GROUPS (>1; requires canonical=False). The
+        per-row gather is ISSUE-RATE-bound on TPU (~14 ns/row regardless of
+        row width up to ~10 KB — runs/r4 probe_unsort_r4: ~29 GB/s effective
+        at 400 B rows), so the per-layer transport cost is the ROW COUNT,
+        not bytes. This mode moves g points per gathered row: the model's
+        storage order becomes round-0's full sorted order σ (spatially
+        coherent — a bucket sort), groups are g CONSECUTIVE points in σ,
+        and every round's permutation is computed at GROUP granularity
+        (group key = min of member keys, in σ order), cutting the x-gather
+        and [num|denom]-unsort row counts — fwd and bwd — by g×. A
+        convergence-gated divergence: buckets are unions of σ-adjacent
+        g-tight clusters, so per-round co-bucket composition coarsens
+        (σ-adjacent points share region AND codes, so the perturbation is
+        within-cell rank noise — measured by scripts/probe_cobucket.py
+        group modes). Returns a 5-tuple (gsrc, ginv, scoords, src0, inv0):
+        group-level (c, n_ev, ne/g) permutations, per-round sorted coords
+        (c, n_ev, cd, ne), and the σ entry/exit maps (1, n_ev, ne).
     Returns:
       (src, inv, scoords): (c, n_ev, ne) i32 forward/inverse permutations
       and (c, n_ev, cd, ne) sorted coords (bf16 under sort_pack); with
-      canonical=True a 5-tuple (src, inv, scoords, f, finv).
+      canonical=True a 5-tuple (src, inv, scoords, f, finv); with
+      group_size>1 the 5-tuple documented above.
     """
     c, n = hashed.shape
     cd = coords_cols.shape[0]
@@ -426,6 +447,73 @@ def static_bucket_plan(
     # sqrt_w·coord·2⁻⁸ vs signal sqrt_w·Δcoord), and the plan runs once per
     # step so the f32 payload costs ~3 extra sort operands total.
     eff_pack = False if coords_f32 else sort_pack
+    if group_size > 1:
+        assert not canonical, \
+            "transport groups have their own storage order (σ)"
+        g = group_size
+        assert ne % g == 0, "ne must divide by group_size"
+        ng = ne // g
+        key3 = key.reshape(c, n_ev, ne)
+        iota_n = jnp.broadcast_to(jnp.arange(ne, dtype=jnp.uint32), (n_ev, ne))
+        if group_sigma == "morton":
+            # σ = (region code, Morton(eta, phi)): groups are SPATIALLY
+            # tight 2-D clusters within a region cell, so their per-round
+            # hash keys stay close and grouping costs little recall —
+            # round-0-σ groups are adjacent only in one 1-D hash and lose
+            # 8 recall points where Morton-σ loses < 1 at bs512
+            # (runs/r5/probe_sigma.log, probe_morton grid). 2-key sort
+            # avoids f32-mantissa games with packed region codes.
+            bits = 10
+            e_ = coords_cols[0].reshape(n_ev, ne)
+            p_ = coords_cols[1].reshape(n_ev, ne)
+
+            def qz(a):  # (n_ev, ne) -> 10-bit ranks, invalid-safe
+                big = jnp.isfinite(a) & (jnp.abs(a) < 1e30)
+                lo = jnp.where(big, a, jnp.inf).min(axis=1, keepdims=True)
+                hi = jnp.where(big, a, -jnp.inf).max(axis=1, keepdims=True)
+                q = jnp.floor((a - lo) / (hi - lo + 1e-9) * (2 ** bits - 1))
+                return jnp.clip(q, 0, 2 ** bits - 1).astype(jnp.int32)
+
+            qe, qp = qz(e_), qz(p_)
+            mort = jnp.zeros_like(qe)
+            for i in range(bits):
+                mort = mort | (((qe >> i) & 1) << (2 * i + 1))
+                mort = mort | (((qp >> i) & 1) << (2 * i))
+            cell = codes_s[0].reshape(n_ev, ne)
+            if invalid is not None:
+                inv2 = invalid.reshape(n_ev, ne)
+                cell = jnp.where(inv2, jnp.asarray(3.0e38, jnp.float32), cell)
+            _, _, src0 = jax.lax.sort(
+                [cell, mort, iota_n], dimension=-1, num_keys=2,
+                is_stable=False,
+            )
+        else:  # "round0": σ = round-0's full sorted order
+            _, src0 = jax.lax.sort([key3[0], iota_n], dimension=-1,
+                                   num_keys=1, is_stable=False)
+        _, inv0 = jax.lax.sort([src0, iota_n], dimension=-1, num_keys=1,
+                               is_stable=False)
+        src0 = src0.astype(jnp.int32)
+        inv0 = inv0.astype(jnp.int32)
+        # all rounds' keys in σ order (minor-axis gather of c short rows)
+        key_s = jnp.take_along_axis(
+            key3, jnp.broadcast_to(src0[None], key3.shape), axis=-1
+        )
+        # group key = min over members: the one mixed valid/invalid boundary
+        # group sorts by its valid member (invalid keys are +BIG)
+        gkey = key_s.reshape(c, n_ev, ng, g).min(axis=-1)
+        gsrc_f, ginv_f = _argsort_keys(gkey.reshape(c * n_ev, ng))
+        # per-round sorted coords: σ-ordered coord rows, group-gathered
+        coords_sig = jnp.take_along_axis(
+            coords_rows, jnp.broadcast_to(src0[:, None, :], coords_rows.shape),
+            axis=-1,
+        )  # (n_ev, cd, ne)
+        crows = coords_sig.transpose(0, 2, 1).reshape(n_ev, ng, g * cd)
+        sc = permute_gather_rows(crows, gsrc_f, ginv_f, pack=eff_pack)
+        sc = sc.reshape(c, n_ev, ne, cd).transpose(0, 1, 3, 2)
+        if eff_pack:
+            sc = sc.astype(jnp.bfloat16)
+        return (gsrc_f.reshape(c, n_ev, ng), ginv_f.reshape(c, n_ev, ng),
+                sc, src0[None], inv0[None])
     (scoords,), (src,) = grouped_sort_carry(
         [key.reshape(c, n_ev, ne)], [coords_rows],
         pack=eff_pack, n_ops=sort_ops, out_bf16=eff_pack,
@@ -468,7 +556,8 @@ def _argsort_keys(keys2):
                                    "shared_sort", "share_heads",
                                    "fold_unsort", "sort_events",
                                    "kernel_bf16", "canon", "kernel_center",
-                                   "unsort_rows", "gather_sort"))
+                                   "unsort_rows", "gather_sort",
+                                   "plan_groups"))
 def hept_attention_core_xcols(
     x_cols: Array,
     coords_cols: Array,
@@ -496,6 +585,7 @@ def hept_attention_core_xcols(
     kernel_center: bool = False,
     unsort_rows: bool = False,
     gather_sort: bool = False,
+    plan_groups: int = 1,
 ) -> Array:
     """Post-sort-projection HEPT pipeline: sort the SHARED pre-projection
     activations instead of per-head q̂/k̂/v.
@@ -612,6 +702,31 @@ def hept_attention_core_xcols(
         else:
             sxs = x0[None]
         scs = scoords  # pre-sorted coords (bf16 under sort_pack)
+        q_src = None
+        sxk = sxq = None
+    elif plan is not None and plan_groups > 1:
+        # TRANSPORT GROUPS: x arrives in σ (round-0 sorted) order; the plan's
+        # permutations are GROUP-level, so each round's x-gather moves ne/g
+        # rows of g·d_model packed columns — the row gather is issue-rate-
+        # bound (~14 ns/row), so g× fewer rows is ~g× cheaper fwd AND bwd.
+        # Group members land consecutive in each round's sorted order, so
+        # the (R, ng, g·d) output reshapes to per-point rows for free.
+        assert share_heads and unsort_rows and not canon, \
+            "plan_groups requires share_heads + unsort_rows, no canon"
+        gsz = plan_groups
+        ng = ne // gsz
+        src, inv_perm, scoords = plan[:3]  # group-level (c, n_ev, ne/g)
+        x_r = x_cols.reshape(d_model, n_ev, ne).transpose(1, 2, 0)
+        sx = permute_gather_rows(
+            x_r.reshape(n_ev, ng, gsz * d_model),
+            src.reshape(c * n_ev, ng),
+            inv_perm.reshape(c * n_ev, ng),
+            pack=sort_pack,
+        )  # (c·n_ev, ng, g·d_model)
+        sxs = sx.reshape(c, n_ev, ne, d_model)  # per-point ROWS
+        if sort_pack:
+            sxs = sxs.astype(jnp.bfloat16)  # exact: values bf16-rounded
+        scs = scoords  # pre-sorted per round by the plan (group gathers)
         q_src = None
         sxk = sxq = None
     elif plan is not None:
@@ -766,9 +881,11 @@ def hept_attention_core_xcols(
         return (b - mu).reshape(shp)
 
     if share_heads:
-        # sorted rows are per (hash, event) and shared by all heads
-        rows_in = plan is None and gather_sort
-        if rows_in:
+        # sorted rows are per (hash, event) and shared by all heads;
+        # rows_in = the sorted x is ROW-major (gather_sort's flat row
+        # gathers, or the transport-groups plan branch — sxs already set)
+        rows_in = (plan is None and gather_sort) or plan_groups > 1
+        if plan is None and gather_sort:
             r4 = sxk_r.reshape(c, n_ev, ne, d_xc)
             sxs = r4[..., :d_model]  # ROWS (c, n_ev, ne, d_model)
             # coords flip to columns for the rpe concat (34 MB, cheap)
@@ -946,6 +1063,19 @@ def hept_attention_core_xcols(
                     pack=bool(unsort_pack),
                 ).reshape(c - 1, n_ev, ne, w_row)
                 rows4 = jnp.concatenate([rows4[:1], g], axis=0)
+        elif plan_groups > 1:
+            # transport groups: σ group j takes round-r group slot
+            # ginv[r, j] — ne/g rows of g·w_row columns per round (issue-
+            # rate-bound, so g× cheaper; the per-point rows of a group are
+            # contiguous on both sides, so the reshapes are free).
+            gsz = plan_groups
+            ng = ne // gsz
+            rows4 = permute_gather_rows(
+                rows4.reshape(c * n_ev, ng, gsz * w_row),
+                inv_perm.reshape(c * n_ev, ng),
+                src.reshape(c * n_ev, ng),
+                pack=bool(unsort_pack),
+            ).reshape(c, n_ev, ne, w_row)
         else:
             # natural position j takes round-r sorted slot inv[r, j]; VJP
             # gathers back by src (its inverse).

@@ -100,8 +100,9 @@ class ExperimentConfig:
     # the compiled eval program (ROADMAP round 4 "RE-DIAGNOSED": the
     # r12cv2r TPU eval computed acc 0.149 at one sizing and 0.945 at
     # another, same checkpoint) fails the check. Costs one extra eval
-    # compile per run; off by default.
-    eval_shape_check: bool = False
+    # compile per run. DEFAULT ON (VERDICT r4 #2: no quotable number may
+    # silently ride a corrupted compiled eval); disable for throwaway runs.
+    eval_shape_check: bool = True
     eval_shape_check_tol: float = 0.02
     # Compile the eval forward and the loss+metric tail as SEPARATE jit
     # programs (two device calls per batch) instead of one fused program.

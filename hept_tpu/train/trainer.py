@@ -371,8 +371,13 @@ def run_one_seed(cfg: ExperimentConfig, dataset: Optional[SplitDataset] = None) 
             else get_dataset(cfg.dataset_name, seed=cfg.seed)
 
     block_size = cfg.model_kwargs.get("block_size", 100)
-    n_max = _ceil(max(ev.n for s in ("train", "valid", "test")
-                      for ev in getattr(dataset, s)), block_size)
+    from ..data.batching import slab_friendly_n
+
+    # bucket count rounded for full flat-slab kernels at any 128-multiple
+    # block size (the big-bucket recall lever rides on this; ≤7 extra
+    # buckets of replicate padding)
+    n_max = slab_friendly_n(max(ev.n for s in ("train", "valid", "test")
+                                for ev in getattr(dataset, s)), block_size)
     e_max = max(
         (ev.pairs.shape[1] for s in ("train", "valid", "test")
          for ev in getattr(dataset, s) if ev.pairs is not None),

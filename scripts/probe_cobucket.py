@@ -116,7 +116,65 @@ def union_recall(ctx, variant: str, n_rounds: int, and_bins: int = 0,
     return out
 
 
+def grouped_union_recall(ctx, variant: str, n_rounds: int, g: int,
+                         and_bins: int = 0, seed=1, block=None):
+    """Union co-bucket recall under TRANSPORT GROUPS (static_bucket_plan
+    group_size=g): bucketing is decided at group granularity (g consecutive
+    points of round-0's sorted order σ, group key = min of member keys).
+    The accuracy question for the g× transport saving: how much union
+    recall does group-granular bucketing cost?"""
+    block = block or BLOCK
+    d_model = ctx["h"].shape[1]
+    cd = ctx["cp"].shape[1]
+    rows = 2 if and_bins else 1
+    alpha = jax.random.normal(
+        jax.random.PRNGKey(seed), (rows, d_model + cd, n_rounds)
+    )
+    hashed = static_hash(ctx["h"].T, ctx["cp"].T, alpha, ctx["scale"],
+                         variant, and_bins=and_bins)
+    codes = ctx["codes"][:, 0]
+    if codes.shape[0] != n_rounds:
+        reps = -(-n_rounds // codes.shape[0])
+        codes = jnp.tile(codes, (reps, 1))[:n_rounds]
+    if g == 1:
+        _, inv, _ = static_bucket_plan(
+            hashed, codes, ctx["invalid"], ctx["cp"].T
+        )
+        bucket = np.asarray(inv[:, 0]) // block
+    else:
+        gsrc, ginv, _, src0, inv0 = static_bucket_plan(
+            hashed, codes, ctx["invalid"], ctx["cp"].T, group_size=g
+        )
+        inv0n = np.asarray(inv0[0, 0])      # natural -> σ slot
+        ginvn = np.asarray(ginv[:, 0])      # (c, ng) group -> round slot
+        bucket = ginvn[:, inv0n // g] // (block // g)  # (c, n) per point
+    ev = ctx["ev"]
+    p = ev.pairs
+    cid = ev.cluster_ids
+    pos = (cid[p[0]] == cid[p[1]]) & (cid[p[0]] > 0)
+    i, j = p[0][pos], p[1][pos]
+    same = bucket[:, i] == bucket[:, j]
+    out = []
+    for k in range(3, n_rounds + 1, 3):
+        out.append(float(same[:k].any(axis=0).mean()))
+    return out
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "groups":
+        # transport-group recall cost: union recall at 60k for g=1/2/4
+        # (12-round plan, the acc arm's union), block 100 and 128
+        sizes = [int(s) for s in sys.argv[2:]] or [60000]
+        for n in sizes:
+            ctx = make_ctx(n)
+            for block in (100, 128):
+                for g in (1, 2, 4, 8):
+                    if block % g:
+                        continue
+                    cum = grouped_union_recall(ctx, "x0", 12, g, block=block)
+                    print(f"n={n:6d} block={block} g={g}: union by 3s: "
+                          + " ".join(f"{v:.4f}" for v in cum), flush=True)
+        sys.exit(0)
     sizes = [int(s) for s in sys.argv[1:]] or [6000, 60000]
     modes = [("x0", 0), ("x0", 4), ("x0", 8), ("x0", 16),
              ("coords", 0), ("coords", 4), ("coords", 8)]

@@ -36,7 +36,10 @@ ev = synthetic_tracking_event(rng, n_points=N, avg_track_size=8,
                               pairs_per_point=16)
 _bs = VARIANTS.get(sys.argv[1] if len(sys.argv) > 1 else "full",
                    {}).get("block_size", 100)
-batch = pack_events([ev], block_size=_bs, window_pairs=128)
+from hept_tpu.data.batching import slab_friendly_n
+
+batch = pack_events([ev], block_size=_bs, n_max=slab_friendly_n(N, _bs),
+                    window_pairs=128)
 keys = ("x", "coords", "valid", "pairs", "pair_mask", "cluster_ids", "recons",
         "pts", "pair_rev", "pair_weight", "pair_neg")
 bt = {k: jnp.asarray(batch[k][0]) for k in keys}

@@ -190,6 +190,54 @@ VARIANTS = {
     "r12bs128cv2r": dict(static_keys="x0", static_rounds=12, block_size=128,
                          kernel_center=True, unsort_rows=True,
                          _attn_impl="slab2"),
+    # TRANSPORT GROUPS on the acc arm: g points per gathered row (group-
+    # level plan permutations, residual in round-0 sorted order) — the
+    # round-5 lever on the issue-rate-bound ~68 ms transport wall (g× fewer
+    # gathered rows fwd+bwd). Convergence-gated: bucket composition
+    # coarsens to σ-adjacent g-clusters (probe_cobucket.py groups).
+    "r12bs128cv2rg2": dict(static_keys="x0", static_rounds=12,
+                           block_size=128, kernel_center=True,
+                           unsort_rows=True, transport_groups=2,
+                           _attn_impl="slab2"),
+    "r12bs128cv2rg4": dict(static_keys="x0", static_rounds=12,
+                           block_size=128, kernel_center=True,
+                           unsort_rows=True, transport_groups=4,
+                           _attn_impl="slab2"),
+    # groups on the speed headline (nh2r8cv2r + bs128 kernels)
+    "nh2r8bs128cv2rg4": dict(static_keys="x0", static_rounds=8, n_hashes=2,
+                             block_size=128, kernel_center=True,
+                             unsort_rows=True, transport_groups=4,
+                             _attn_impl="slab2"),
+    # BIG BUCKETS (round-5): co-bucket recall rises with block_size at FIXED
+    # transport cost — bs256 takes the 8-round union to 0.9902 (= the
+    # r12bs128 acc arm's union) and bs512 to 0.9960 (probe_bs, runs/r5) —
+    # while block size only costs MXU FLOPs (slab kernels, not the wall).
+    # The TPU roofline trade: spend abundant FLOPs to avoid scarce
+    # transport. nh2 keeps transport at 8 round-instances/step.
+    "nh2r8bs256cv2r": dict(static_keys="x0", static_rounds=8, n_hashes=2,
+                           block_size=256, kernel_center=True,
+                           unsort_rows=True, _attn_impl="slab2"),
+    "nh2r8bs384cv2r": dict(static_keys="x0", static_rounds=8, n_hashes=2,
+                           block_size=384, kernel_center=True,
+                           unsort_rows=True, _attn_impl="slab2"),
+    "nh2r8bs512cv2r": dict(static_keys="x0", static_rounds=8, n_hashes=2,
+                           block_size=512, kernel_center=True,
+                           unsort_rows=True, _attn_impl="slab2"),
+    "r12bs256cv2r": dict(static_keys="x0", static_rounds=12,
+                         block_size=256, kernel_center=True,
+                         unsort_rows=True, _attn_impl="slab2"),
+    # big buckets x transport groups (Morton-σ: spatially tight groups):
+    # g=2 halves / g=4 quarters the 8-instance transport while the wide
+    # bucket absorbs the group-rank displacement — union recall 0.9934 /
+    # 0.9901 vs 0.9960 ungrouped (runs/r5/probe_sigma.log morton grid)
+    "nh2r8bs512cv2rg2": dict(static_keys="x0", static_rounds=8, n_hashes=2,
+                             block_size=512, kernel_center=True,
+                             unsort_rows=True, transport_groups=2,
+                             _attn_impl="slab2"),
+    "nh2r8bs512cv2rg4": dict(static_keys="x0", static_rounds=8, n_hashes=2,
+                             block_size=512, kernel_center=True,
+                             unsort_rows=True, transport_groups=4,
+                             _attn_impl="slab2"),
     # 16-round union at OR width 4: more per-layer OR coverage than the
     # reference's 3 (union recall saturates ~0.99); kernel+unsort cost ∝
     # n_hashes so ~4/3 of the r12 arm's step.
