@@ -502,16 +502,16 @@ def static_bucket_plan(
         # group sorts by its valid member (invalid keys are +BIG)
         gkey = key_s.reshape(c, n_ev, ng, g).min(axis=-1)
         gsrc_f, ginv_f = _argsort_keys(gkey.reshape(c * n_ev, ng))
-        # per-round sorted coords: σ-ordered coord rows, group-gathered
+        # σ-ordered coords, ONCE (no per-round coords gather: the consumer
+        # rides the coords on the x row-gather — rows are issue-rate-bound,
+        # so the extra width is free and the per-round coords transport
+        # disappears). Broadcast to a (c, ...) leading axis so the
+        # static_rounds per-layer sub-plan slicing applies uniformly.
         coords_sig = jnp.take_along_axis(
             coords_rows, jnp.broadcast_to(src0[:, None, :], coords_rows.shape),
             axis=-1,
-        )  # (n_ev, cd, ne)
-        crows = coords_sig.transpose(0, 2, 1).reshape(n_ev, ng, g * cd)
-        sc = permute_gather_rows(crows, gsrc_f, ginv_f, pack=eff_pack)
-        sc = sc.reshape(c, n_ev, ne, cd).transpose(0, 1, 3, 2)
-        if eff_pack:
-            sc = sc.astype(jnp.bfloat16)
+        )  # (n_ev, cd, ne) f32
+        sc = jnp.broadcast_to(coords_sig[None], (c,) + coords_sig.shape)
         return (gsrc_f.reshape(c, n_ev, ng), ginv_f.reshape(c, n_ev, ng),
                 sc, src0[None], inv0[None])
     (scoords,), (src,) = grouped_sort_carry(
@@ -715,18 +715,29 @@ def hept_attention_core_xcols(
             "plan_groups requires share_heads + unsort_rows, no canon"
         gsz = plan_groups
         ng = ne // gsz
-        src, inv_perm, scoords = plan[:3]  # group-level (c, n_ev, ne/g)
+        src, inv_perm, scoords = plan[:3]  # group perms (c, n_ev, ne/g);
+        # scoords = σ-ORDERED coords (c-broadcast, (c, n_ev, cd, ne))
         x_r = x_cols.reshape(d_model, n_ev, ne).transpose(1, 2, 0)
+        # coords ride the SAME row gather as x (rows are issue-rate-bound:
+        # width is free, and the separate per-round coords transport
+        # disappears). Unpacked f32 rows — packing saves bytes, not rows,
+        # and kernel_center wants exact f32 coords through transport.
+        comb = jnp.concatenate(
+            [x_r, scoords[0].transpose(0, 2, 1)], axis=-1
+        )  # (n_ev, ne, d_xc), both parts in σ order
         sx = permute_gather_rows(
-            x_r.reshape(n_ev, ng, gsz * d_model),
+            comb.reshape(n_ev, ng, gsz * d_xc),
             src.reshape(c * n_ev, ng),
             inv_perm.reshape(c * n_ev, ng),
-            pack=sort_pack,
-        )  # (c·n_ev, ng, g·d_model)
-        sxs = sx.reshape(c, n_ev, ne, d_model)  # per-point ROWS
+            pack=False,
+        )  # (c·n_ev, ng, g·d_xc) f32
+        r4g = sx.reshape(c, n_ev, ne, d_xc)
+        sxs = r4g[..., :d_model]  # per-point ROWS
         if sort_pack:
-            sxs = sxs.astype(jnp.bfloat16)  # exact: values bf16-rounded
-        scs = scoords  # pre-sorted per round by the plan (group gathers)
+            sxs = sxs.astype(jnp.bfloat16)  # same values as pack-rounding
+        scs = jnp.moveaxis(r4g[..., d_model:], -1, -2)  # (c, n_ev, cd, ne)
+        if sort_pack and not kernel_center:
+            scs = scs.astype(jnp.bfloat16)  # rounding parity w/ sort_pack
         q_src = None
         sxk = sxq = None
     elif plan is not None:
