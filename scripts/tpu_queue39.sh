@@ -52,6 +52,10 @@ run demo_nh2r8bs512cv2rg4_s42 3600 python scripts/train_60k_demo.py nh2r8bs512cv
 # 50-epoch recipe on the best big-bucket arm (headline-recipe point)
 run demo_nh2r8bs512cv2r_e50_s42 5400 python scripts/train_60k_demo.py nh2r8bs512cv2r 1e-2 42 10 50
 
+# pileup co-workload on the big-bucket arm + B=2 residual attribution
+run pileup_bs512_s42 3600 python scripts/train_pileup_60k_demo.py bs512 42
+run probe_b2_primitives 3600 python scripts/probe_b2_primitives.py
+
 # --- phase C: control-grid fills queue38 may have skipped ---
 run demo_r2known_e50_s42b   5400 python scripts/train_60k_demo.py r2known 1e-2 42 10 50
 run demo_nh2r8cv2r_e50_s42b 3600 python scripts/train_60k_demo.py nh2r8cv2r 1e-2 42 10 50

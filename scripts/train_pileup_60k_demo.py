@@ -39,6 +39,13 @@ elif variant == "acc":
     model_kwargs.update(block_size=128, static_rounds=12, kernel_center=True,
                         unsort_rows=True, canon_residual=False)
     attn_impl = "slab2"
+elif variant == "bs512":
+    # round-5 big-bucket arm (nh2r8bs512cv2r) on pileup: nh2-level
+    # transport at better-than-acc-arm union recall (runs/r5/probe_bs.log)
+    model_kwargs.update(n_hashes=2, static_rounds=8, block_size=512,
+                        kernel_center=True, unsort_rows=True,
+                        canon_residual=False)
+    attn_impl = "slab2"
 
 cfg = ExperimentConfig(
     task="pileup",
