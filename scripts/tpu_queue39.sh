@@ -54,7 +54,10 @@ run demo_nh2r8bs512cv2r_e50_s42 5400 python scripts/train_60k_demo.py nh2r8bs512
 
 # pileup co-workload on the big-bucket arm + B=2 residual attribution
 run pileup_bs512_s42 3600 python scripts/train_pileup_60k_demo.py bs512 42
-run probe_b2_primitives 3600 python scripts/probe_b2_primitives.py
+# B=2 residual attribution (slab128 fixed the convert, 1.271 remains):
+# l1 localizes layers-vs-prepare; nounsortrows/nopack the transport legs
+run probe_b2_arms2 5400 env B2_ARMS=l1,nounsortrows,nopack \
+  python scripts/probe_b2_bisect.py
 
 # --- phase C: control-grid fills queue38 may have skipped ---
 run demo_r2known_e50_s42b   5400 python scripts/train_60k_demo.py r2known 1e-2 42 10 50
