@@ -33,6 +33,7 @@ from pathlib import Path
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/scripts")
 
+import dataclasses
 import os
 
 import jax
@@ -176,3 +177,37 @@ rel = float(ad.max() / (np.abs(a).max() + 1e-12))
 print(f"fwd A-vs-B: max abs diff={ad.max():.6g} max rel={rel:.6g} "
       f"frac rows >1e-2={np.mean((ad.max(axis=-1) > 1e-2)):.4f}", flush=True)
 print("FWD VERDICT:", "DIVERGES" if rel > 1e-2 else "matches", flush=True)
+
+# leg 3 (opt-in sweep): HEPT_REPRO_NMAXES="58300,58400,..." — for each
+# n_max (e_max fixed at eA) run (a) the fused evalstep, (b) a fused
+# forward+loss WITHOUT the metric, (c) the split-programs evalstep, and
+# (d) fused-vs-alone forward embedding diff. Attribution axes: which
+# n_max values trigger (58300 = 583 buckets, ODD, vs 50200 = 502 EVEN),
+# and whether the metric subgraph must be in the program to trigger.
+sweep = os.environ.get("HEPT_REPRO_NMAXES", "")
+if sweep:
+    loss_fn = __import__("hept_tpu.train.trainer", fromlist=["make_loss_fn"]
+                         ).make_loss_fn(cfg)
+    cfg_split = dataclasses.replace(cfg, eval_split_programs=True) \
+        if hasattr(cfg, "eval_split_programs") else cfg
+    eval_step_split = make_eval_step(cfg_split, model_apply, chunk=1)
+    fused_lossonly = jax.jit(
+        lambda v, jb: loss_fn(model_apply(v, jb), jb))
+    fwd_alone = jax.jit(lambda v, jb: model_apply(v, jb))
+    for nm_s in sweep.split(","):
+        nm = int(nm_s)
+        b = pack_events([ev], bs, n_max=nm, e_max=eA, window_pairs=128)
+        jb = jax.tree_util.tree_map(jnp.asarray, b)
+        loss, tm = eval_step(1)(variables, jb)
+        tm = np.asarray(tm)
+        l2 = float(fused_lossonly(variables, jb))
+        loss_s, tm_s = eval_step_split(1)(variables, jb)
+        tm_s = np.asarray(tm_s)
+        o_f = None
+        print(
+            f"sweep n_max={nm} (nb={nm // bs}{'odd' if (nm // bs) % 2 else 'even'}): "
+            f"fused loss={float(loss):.4f} acc={tm[..., 2, 0].mean():.4f} | "
+            f"lossonly={l2:.4f} | "
+            f"split loss={float(loss_s):.4f} acc={tm_s[..., 2, 0].mean():.4f}",
+            flush=True,
+        )

@@ -31,6 +31,15 @@ run() { # run <tag> <timeout_s> <cmd...>
     "runs/r5/$tag.log" 2>/dev/null | tail -4 || true
 }
 
+# --- phase A0: eval-corruption n_max sweep (VERDICT r4 #2) ---
+# repro_shape_init established: triggers on n_max alone (58300 bad at any
+# e_max, 50200 fine), at RANDOM INIT, and the forward compiled ALONE is
+# clean — the miscompile is inside the fused program. The sweep tests the
+# odd/even bucket-count axis (583 odd vs 502 even) and whether the metric
+# subgraph must be present (lossonly leg) / split programs clear it.
+run repro_nmax_sweep 5400 env HEPT_REPRO_NMAXES=58300,58400,50300,50200 \
+  python scripts/repro_shape_eval.py r12cv2r
+
 # --- phase A: big-bucket timers (decision data) ---
 run time_nh2r8bs512cv2r 2400 python scripts/time_step_variant.py nh2r8bs512cv2r
 run time_nh2r8bs256cv2r 2400 python scripts/time_step_variant.py nh2r8bs256cv2r
