@@ -193,6 +193,11 @@ if sweep:
     eval_step_split = make_eval_step(cfg_split, model_apply, chunk=1)
     fused_lossonly = jax.jit(
         lambda v, jb: loss_fn(model_apply(v, jb), jb))
+    # trivial-consumer fusion: if even fwd+sum flips the forward's value
+    # at the bad n_max, the minimal XLA repro needs no loss/metric at all
+    fused_fwdsum = jax.jit(
+        lambda v, jb: (model_apply(v, jb)
+                       * jnp.where(jb["valid"][..., None], 1.0, 0.0)).sum())
     fwd_alone = jax.jit(lambda v, jb: model_apply(v, jb))
     for nm_s in sweep.split(","):
         nm = int(nm_s)
@@ -201,13 +206,13 @@ if sweep:
         loss, tm = eval_step(1)(variables, jb)
         tm = np.asarray(tm)
         l2 = float(fused_lossonly(variables, jb))
+        fs = float(fused_fwdsum(variables, jb))
         loss_s, tm_s = eval_step_split(1)(variables, jb)
         tm_s = np.asarray(tm_s)
-        o_f = None
         print(
             f"sweep n_max={nm} (nb={nm // bs}{'odd' if (nm // bs) % 2 else 'even'}): "
             f"fused loss={float(loss):.4f} acc={tm[..., 2, 0].mean():.4f} | "
-            f"lossonly={l2:.4f} | "
+            f"lossonly={l2:.4f} | fwdsum={fs:.4f} | "
             f"split loss={float(loss_s):.4f} acc={tm_s[..., 2, 0].mean():.4f}",
             flush=True,
         )
