@@ -106,14 +106,16 @@ class ExperimentConfig:
     eval_shape_check_tol: float = 0.02
     # Compile the eval forward and the loss+metric tail as SEPARATE jit
     # programs (two device calls per batch) instead of one fused program.
-    # Mitigation knob for the round-4 r12cv2r corruption class: the
-    # wrong-result lives in the fused fwd+loss+metric XLA:TPU program at
-    # exact static shapes (ROADMAP "RE-DIAGNOSED"); splitting changes the
-    # compiled program boundaries at the cost of materializing the
-    # embeddings between calls (~6 MB/event). Metric-equivalent by
-    # construction; default off until the queue36 repro legs attribute
-    # the corruption to the fused body vs the forward alone.
-    eval_split_programs: bool = False
+    # DEFAULT ON since round 5: the r12cv2r wrong-result was isolated to
+    # the FUSED fwd+loss+METRIC XLA:TPU program at specific n_max values
+    # (runs/r5/repro_nmax_sweep.log: at n_max=58300 the fused program
+    # computes loss 3.81/acc 0.034 from a clean forward — fwd compiled
+    # alone is bitwise-correct, fwd+loss without the metric is correct,
+    # and SPLITTING restores the correct 0.80/0.132). Fusing the
+    # retrieval-metric subgraph miscompiles the shared embedding buffer.
+    # Cost: materializing the embeddings between two device calls
+    # (~6 MB/event). Set False only to reproduce the compiler bug.
+    eval_split_programs: bool = True
 
     def model_config(self, in_dim: int, coords_dim: int) -> TransformerConfig:
         kw = dict(self.model_kwargs)
