@@ -226,6 +226,11 @@ VARIANTS = {
     "r12bs256cv2r": dict(static_keys="x0", static_rounds=12,
                          block_size=256, kernel_center=True,
                          unsort_rows=True, _attn_impl="slab2"),
+    # OR1 turbo at bs512: 4-round union recall 0.920 (bs100) -> 0.9906
+    # (bs512, probe_morton2) — the ~55 ms class arm at near-acc-arm union
+    "nh1r4bs512cv2r": dict(static_keys="x0", static_rounds=4, n_hashes=1,
+                           block_size=512, kernel_center=True,
+                           unsort_rows=True, _attn_impl="slab2"),
     # big buckets x transport groups (Morton-σ: spatially tight groups):
     # g=2 halves / g=4 quarters the 8-instance transport while the wide
     # bucket absorbs the group-rank displacement — union recall 0.9934 /
