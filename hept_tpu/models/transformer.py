@@ -663,11 +663,13 @@ class HeptTransformer(nn.Module):
             )
             if cfg.transport_groups > 1:
                 # σ entry: the residual stream, pad mask — and everything
-                # row-local after — ride in round-0 sorted order; the plan
-                # permutations are group-level relative to σ. One gather
-                # back after the head (shared exit path with canon).
-                src0, inv0 = plan[3], plan[4]
-                plan = plan[:3]
+                # row-local after — ride in σ = (region code, Morton)
+                # order; the plan carries expanded per-point perms (x/
+                # coords column gathers) + group-level perms (rows
+                # unsort), all relative to σ. One gather back after the
+                # head (shared exit path with canon).
+                src0, inv0 = plan[5], plan[6]
+                plan = plan[:5]
                 h = _permute_rows(h, src0, inv0, cfg.sort_events)
                 invalid = jnp.take_along_axis(
                     invalid.reshape(cfg.sort_events, -1), src0[0], axis=1

@@ -502,18 +502,32 @@ def static_bucket_plan(
         # group sorts by its valid member (invalid keys are +BIG)
         gkey = key_s.reshape(c, n_ev, ng, g).min(axis=-1)
         gsrc_f, ginv_f = _argsort_keys(gkey.reshape(c * n_ev, ng))
-        # σ-ordered coords, ONCE (no per-round coords gather: the consumer
-        # rides the coords on the x row-gather — rows are issue-rate-bound,
-        # so the extra width is free and the per-round coords transport
-        # disappears). Broadcast to a (c, ...) leading axis so the
-        # static_rounds per-layer sub-plan slicing applies uniformly.
+        gsrc = gsrc_f.reshape(c, n_ev, ng)
+        ginv = ginv_f.reshape(c, n_ev, ng)
+        # EXPANDED per-point permutations (relative to σ): the x/coords
+        # side stays on the proven COLUMN gather (minor-axis
+        # take_along_axis — no per-row fetch floor, and the projections
+        # keep their transpose-free column einsums; feeding them ROW-major
+        # sorted x costs a ~(ne, d)→(d, ne) relayout per round instance —
+        # measured 351 ms vs 102 on the nh2r8bs512 arm, runs/r5
+        # time_nh2r8bs512cv2rg2.log). Grouping buys its g× row win on the
+        # [num|denom] UNSORT only, via gsrc/ginv.
+        off = jnp.arange(g, dtype=jnp.int32)
+        # slot s = q·g + r of round r's expanded order holds σ-point
+        # gsrc[q]·g + r; σ-point p = q·g + r sits at slot ginv[q]·g + r —
+        # both expansions share the same closed form (groups move as units)
+        src_exp = (gsrc[..., None] * g + off).reshape(c, n_ev, ne)
+        inv_exp = (ginv[..., None] * g + off).reshape(c, n_ev, ne)
+        # σ-ordered coords, then per-round column gather by the expanded
+        # perms (identical transport profile to the ungrouped plan path)
         coords_sig = jnp.take_along_axis(
             coords_rows, jnp.broadcast_to(src0[:, None, :], coords_rows.shape),
             axis=-1,
         )  # (n_ev, cd, ne) f32
-        sc = jnp.broadcast_to(coords_sig[None], (c,) + coords_sig.shape)
-        return (gsrc_f.reshape(c, n_ev, ng), ginv_f.reshape(c, n_ev, ng),
-                sc, src0[None], inv0[None])
+        sc = permute_gather(
+            coords_sig, src_exp, inv_exp, pack=eff_pack, out_bf16=eff_pack
+        )  # (c, n_ev, cd, ne)
+        return (src_exp, inv_exp, sc, gsrc, ginv, src0[None], inv0[None])
     (scoords,), (src,) = grouped_sort_carry(
         [key.reshape(c, n_ev, ne)], [coords_rows],
         pack=eff_pack, n_ops=sort_ops, out_bf16=eff_pack,
@@ -705,39 +719,24 @@ def hept_attention_core_xcols(
         q_src = None
         sxk = sxq = None
     elif plan is not None and plan_groups > 1:
-        # TRANSPORT GROUPS: x arrives in σ (round-0 sorted) order; the plan's
-        # permutations are GROUP-level, so each round's x-gather moves ne/g
-        # rows of g·d_model packed columns — the row gather is issue-rate-
-        # bound (~14 ns/row), so g× fewer rows is ~g× cheaper fwd AND bwd.
-        # Group members land consecutive in each round's sorted order, so
-        # the (R, ng, g·d) output reshapes to per-point rows for free.
+        # TRANSPORT GROUPS: x arrives in σ ((region code, Morton) sorted)
+        # order. The x/coords side uses the SAME column gathers as the
+        # ungrouped static path, just with the plan's EXPANDED per-point
+        # permutations (minor-axis take_along_axis has no per-row fetch
+        # floor, and the projections keep their transpose-free column
+        # einsums — feeding them ROW-major sorted x costs a relayout per
+        # round instance: 351 vs 102 ms on nh2r8bs512, runs/r5). The g×
+        # row-count win applies where rows were the wall: the [num|denom]
+        # UNSORT, which gathers ne/g rows of g·w_row columns via the
+        # group-level perms (plan[3:5]).
         assert share_heads and unsort_rows and not canon, \
             "plan_groups requires share_heads + unsort_rows, no canon"
-        gsz = plan_groups
-        ng = ne // gsz
-        src, inv_perm, scoords = plan[:3]  # group perms (c, n_ev, ne/g);
-        # scoords = σ-ORDERED coords (c-broadcast, (c, n_ev, cd, ne))
-        x_r = x_cols.reshape(d_model, n_ev, ne).transpose(1, 2, 0)
-        # coords ride the SAME row gather as x (rows are issue-rate-bound:
-        # width is free, and the separate per-round coords transport
-        # disappears). Unpacked f32 rows — packing saves bytes, not rows,
-        # and kernel_center wants exact f32 coords through transport.
-        comb = jnp.concatenate(
-            [x_r, scoords[0].transpose(0, 2, 1)], axis=-1
-        )  # (n_ev, ne, d_xc), both parts in σ order
-        sx = permute_gather_rows(
-            comb.reshape(n_ev, ng, gsz * d_xc),
-            src.reshape(c * n_ev, ng),
-            inv_perm.reshape(c * n_ev, ng),
-            pack=False,
-        )  # (c·n_ev, ng, g·d_xc) f32
-        r4g = sx.reshape(c, n_ev, ne, d_xc)
-        sxs = r4g[..., :d_model]  # per-point ROWS
-        if sort_pack:
-            sxs = sxs.astype(jnp.bfloat16)  # same values as pack-rounding
-        scs = jnp.moveaxis(r4g[..., d_model:], -1, -2)  # (c, n_ev, cd, ne)
-        if sort_pack and not kernel_center:
-            scs = scs.astype(jnp.bfloat16)  # rounding parity w/ sort_pack
+        src, inv_perm, scoords = plan[:3]  # EXPANDED (c, n_ev, ne)
+        x_rows = jnp.moveaxis(x_cols.reshape(d_model, n_ev, ne), 1, 0)
+        sxs = permute_gather(
+            x_rows, src, inv_perm, pack=sort_pack, out_bf16=sort_pack
+        )  # (c, n_ev, d_model, ne) columns
+        scs = scoords
         q_src = None
         sxk = sxq = None
     elif plan is not None:
@@ -894,9 +893,9 @@ def hept_attention_core_xcols(
     if share_heads:
         # sorted rows are per (hash, event) and shared by all heads;
         # rows_in = the sorted x is ROW-major (gather_sort's flat row
-        # gathers, or the transport-groups plan branch — sxs already set)
-        rows_in = (plan is None and gather_sort) or plan_groups > 1
-        if plan is None and gather_sort:
+        # gathers)
+        rows_in = plan is None and gather_sort
+        if rows_in:
             r4 = sxk_r.reshape(c, n_ev, ne, d_xc)
             sxs = r4[..., :d_model]  # ROWS (c, n_ev, ne, d_model)
             # coords flip to columns for the rpe concat (34 MB, cheap)
@@ -1076,15 +1075,16 @@ def hept_attention_core_xcols(
                 rows4 = jnp.concatenate([rows4[:1], g], axis=0)
         elif plan_groups > 1:
             # transport groups: σ group j takes round-r group slot
-            # ginv[r, j] — ne/g rows of g·w_row columns per round (issue-
+            # ginv_g[r, j] — ne/g rows of g·w_row columns per round (issue-
             # rate-bound, so g× cheaper; the per-point rows of a group are
             # contiguous on both sides, so the reshapes are free).
             gsz = plan_groups
             ng = ne // gsz
+            gsrc_g, ginv_g = plan[3], plan[4]  # group-level (c, n_ev, ng)
             rows4 = permute_gather_rows(
                 rows4.reshape(c * n_ev, ng, gsz * w_row),
-                inv_perm.reshape(c * n_ev, ng),
-                src.reshape(c * n_ev, ng),
+                ginv_g.reshape(c * n_ev, ng),
+                gsrc_g.reshape(c * n_ev, ng),
                 pack=bool(unsort_pack),
             ).reshape(c, n_ev, ne, w_row)
         else:
