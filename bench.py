@@ -11,16 +11,17 @@ A100_TRAIN_POINTS_PER_SEC below — an estimate for the PyTorch reference on
 A100 documented in BASELINE.md; replace with a measured value when GPU
 hardware is available.
 
-Round 4 reports TWO arms (the north star is throughput AT parity recall, so
-the headline is the accuracy-first arm; VERDICT r3 next #1):
-  headline  hept_acc (r12bs128cv2r): 12-round static union x OR3, bs128
-            slab2 kernels, center, row unsort — 60k acc@0.9 0.9502 @
-            138.8 ms at 25 epochs, **0.9575 ± 0.003 3-seed mean with the
-            50-epoch recipe** (0.9616/0.9558/0.9552; same step cost,
-            above the 0.9499 ± 0.008 parity-accuracy bar)
-            and **0.9793 on the 50-event dataset**
-            (BASELINE.md round-4 matrix + dataset-scale section; seed
-            campaigns in runs/r4/). Reported as metric/value/vs_baseline,
+The bench reports TWO arms (the north star is throughput AT parity recall,
+so the headline is the accuracy-first arm):
+  headline  hept_acc (nh2r8bs512cv2r since round 5): the nh2 8-round
+            stack at 512-point buckets — big buckets buy co-bucket recall
+            at fixed transport cost and the flat-slab kernels price any
+            bucket size the same (~(1024, 1024) masked slab). 60k acc@0.9
+            **0.9513 ± 0.005 3-seed @ 25 ep at 102.0 ms** (588k pts/s) —
+            above the 0.9499 ± 0.008 parity-accuracy bar at ~5.9× its
+            speed, and better than the round-4 r12bs128cv2r acc arm
+            (0.9418 ± 0.008 @ 138.8 ms) on BOTH axes (BASELINE.md round-5
+            section; runs/r5 logs). Reported as metric/value/vs_baseline,
             best over event-batch sizes {1, 2} (stacked flat batching for
             B > 1).
   fast      nh2r8cv2r (the round-3 headline, 0.9341 @ 95.6 ms) — reported
@@ -164,16 +165,21 @@ def main():
 
     parity_only = "--parity-only" in sys.argv
 
-    # hept_acc (r12bs128cv2r): the accuracy-first headline arm — 12-round
-    # static union x OR3 + bs128 slab2 kernels (60k acc@0.9 0.9502 @
-    # 138.8 ms, BASELINE.md round 4). block_size 128 is a documented
-    # divergence (PARITY.md): bigger lane-aligned buckets, MORE neighbors
-    # per point than the reference's 100.
+    # hept_acc (nh2r8bs512cv2r since round 5): the accuracy-first headline
+    # arm — the nh2 8-round stack at 512-point buckets. Big buckets buy
+    # co-bucket recall at FIXED transport cost (union 0.9960 vs the
+    # round-4 r12bs128 arm's 0.9902) and the flat-slab kernels compute the
+    # same ~(1024, 1024) masked MXU slab regardless of bucket size, so the
+    # step is 102.0 ms vs the old acc arm's 138.8 (60k acc@0.9
+    # 0.9513 ± 0.005 3-seed @ 25 ep vs 0.9418 ± 0.008 — better on BOTH
+    # axes; runs/r5, BASELINE.md round 5). block_size 512 is a documented
+    # divergence (PARITY.md): more neighbors per point than the
+    # reference's 100.
     ACC_OVERRIDES = dict(
-        block_size=128, n_hashes=3, static_rounds=12,
+        block_size=512,
         attn_impl="slab2" if on_tpu else "xla",
     )
-    ACC_BLOCK = 128
+    ACC_BLOCK = 512
 
     cfg = make_cfg(**ACC_OVERRIDES)  # headline (accuracy arm)
     model = HeptTransformer(cfg)
@@ -455,11 +461,12 @@ def main():
                 "value": round(pps, 1),
                 "unit": "points/sec",
                 "vs_baseline": round(pps / A100_TRAIN_POINTS_PER_SEC, 3),
-                # headline = the accuracy-first hept_acc arm (r12bs128cv2r);
-                # its 60k acc@0.9 evidence lives in BASELINE.md round-4
-                # matrix + runs/r4 logs (3-seed campaign)
-                "arm": "hept_acc/r12bs128cv2r",
-                "acc_at_0p9_seed42": 0.9502,
+                # headline = the accuracy-first hept_acc arm
+                # (nh2r8bs512cv2r since round 5); its 60k acc@0.9 evidence
+                # lives in BASELINE.md round-5 section + runs/r5 logs
+                # (3-seed campaign: 0.9554/0.9527/0.9459 @ 25 ep)
+                "arm": "hept_acc/nh2r8bs512cv2r",
+                "acc_at_0p9_seed42": 0.9554,
                 "batch_events": best_b,
                 "step_ms": round(dt_best * 1e3, 2),
                 "step_ms_b1": round(dt1 * 1e3, 2),
