@@ -226,6 +226,12 @@ VARIANTS = {
     "r12bs256cv2r": dict(static_keys="x0", static_rounds=12,
                          block_size=256, kernel_center=True,
                          unsort_rows=True, _attn_impl="slab2"),
+    # accuracy-max candidate: 12-round union x OR3 at bs512 (union 0.9966,
+    # per-layer OR3 0.9873) at ~the r12bs128 step cost (slab kernels are
+    # bucket-size-free)
+    "r12bs512cv2r": dict(static_keys="x0", static_rounds=12,
+                         block_size=512, kernel_center=True,
+                         unsort_rows=True, _attn_impl="slab2"),
     # OR1 turbo at bs512: 4-round union recall 0.920 (bs100) -> 0.9906
     # (bs512, probe_morton2) — the ~55 ms class arm at near-acc-arm union
     "nh1r4bs512cv2r": dict(static_keys="x0", static_rounds=4, n_hashes=1,
