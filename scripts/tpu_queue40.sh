@@ -26,10 +26,11 @@ run time_g2fix 2400 python scripts/time_step_variant.py nh2r8bs512cv2rg2
 # accuracy-max candidate (r12 union at bs512; r12bs256 s42 = 0.9573)
 run time_r12bs512cv2r 2400 python scripts/time_step_variant.py r12bs512cv2r
 run demo_r12bs512cv2r_s42 3600 python scripts/train_60k_demo.py r12bs512cv2r 1e-2 42
+# bench rides every warmed cache; runs BEFORE optional fills so the
+# driver-facing artifact is guaranteed fresh
+run bench_r5b 7200 python bench.py
 run time_nh1r4bs512cv2r 2400 python scripts/time_step_variant.py nh1r4bs512cv2r
 run demo_nh1r4bs512cv2r_s42 3600 python scripts/train_60k_demo.py nh1r4bs512cv2r 1e-2 42
 run demo_nh2r8bs512cv2r_e50_s0 5400 python scripts/train_60k_demo.py nh2r8bs512cv2r 1e-2 0 10 50
 run demo_nh2r8bs512cv2r_e50_s1 5400 python scripts/train_60k_demo.py nh2r8bs512cv2r 1e-2 1 10 50
-run demo_nh2r8bs512cv2r_n50_s0 3600 python scripts/train_60k_demo.py nh2r8bs512cv2r 1e-2 0 50
-run bench_r5b 7200 python bench.py
 echo "[$(date +%H:%M:%S)] queue40 done"
