@@ -61,8 +61,10 @@ def test_all_yaml_configs_load():
     files = sorted(cfg_dir.rglob("*.yaml"))
     # 24 reference-mirroring configs + 2 TPU fast-stack profiles (hept_fast)
     # + the OR1 speed-max profile (hept_turbo) + the accuracy-first profile
-    # (hept_acc: r12bs128cv2r, 0.9502 @ 138.8 ms — BASELINE.md round 4)
-    assert len(files) == 28
+    # (hept_acc: nh2r8bs512cv2r, 0.9513 ± 0.005 @ 102.0 ms) + the
+    # accuracy-max profile (hept_max: r12bs512cv2r, 0.9662 @ 147.9 ms —
+    # BASELINE.md round 5)
+    assert len(files) == 29
     for f in files:
         cfg = load_config(f)
         assert cfg.model_name
@@ -83,7 +85,15 @@ def test_all_yaml_configs_load():
             assert mc.static_keys == "x0" and mc.unsort_rows
         if f.stem.endswith("_acc"):
             mc = cfg.model_config(in_dim=15, coords_dim=6)
-            # accuracy-first: full 12-round union at OR3, bs128 slab kernels
+            # accuracy-first (round 5): nh2 8-round union at 512-pt slab
+            # buckets (nh2r8bs512cv2r — BASELINE.md round-5)
+            assert mc.n_hashes == 2 and mc.static_rounds == 8
+            assert mc.block_size == 512 and cfg.attn_impl == "slab2"
+            assert mc.kernel_center and mc.unsort_rows
+        if f.stem.endswith("_max"):
+            mc = cfg.model_config(in_dim=15, coords_dim=6)
+            # accuracy-max (round 5): 12-round union at OR3, bs512
+            # (r12bs512cv2r)
             assert mc.n_hashes == 3 and mc.static_rounds == 12
-            assert mc.block_size == 128 and cfg.attn_impl == "slab2"
+            assert mc.block_size == 512 and cfg.attn_impl == "slab2"
             assert mc.kernel_center and mc.unsort_rows
